@@ -1,0 +1,113 @@
+"""Benchmark entry point (driver contract + BASELINE.md protocol).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {key: sec, ...}, "sf": ...,
+   "pipeline": {"rows": N, "wall_s": W, "seq_per_sec": T, "cores": C}}
+
+- headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  on local[$SPARK_GRAFT_CPUS]; each is fully materialized through the noop
+  sink (all compute, no driver collect).
+- the flagship parse→enrich→route→aggregate pipeline runs over a synthetic
+  ``sequences`` parquet snapshot (SPARK_GRAFT_BENCH_ROWS, default 2,000,000
+  rows, zipf-skewed source) — its sequences/sec is the BASELINE.json north
+  metric; scaling protocol (local[8] vs local[32]) in bench/run_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+from opentelemetry_collector_spark.queries import QUERIES
+from opentelemetry_collector_spark.session import get_spark
+from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+HEADLINE = [
+    "join_star_schema",
+    "agg_counts_by_source",
+    "agg_latest_by_key",
+    "route_fanout",
+    "parse_grok",
+    "win_cumulative_sum",
+    "tail_sample_semi_join",
+    "sample_prob",
+    "filter_include_exclude",
+    "agg_rollup_counts",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_input(spark, n_rows: int, path: str) -> None:
+    """Materialize the synthetic sequences input once (cold, re-used)."""
+    if not os.path.isdir(path):
+        gen_telemetry(spark, n_rows, seed=42, partitions=64).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- headline operator queries at sf_dir -------------------------------
+    qtimes: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = QUERIES[key]
+        fn(spark, sf_dir).count()  # warm: plan + scan caches
+        t0 = time.monotonic()
+        materialize(fn(spark, sf_dir))
+        qtimes[key] = round(time.monotonic() - t0, 3)
+
+    # --- flagship pipeline throughput (north metric) -----------------------
+    input_path = f"/tmp/spark_graft_bench_input_{n_rows}"
+    bench_input(spark, n_rows, input_path)
+    records = spark.read.parquet(input_path)
+    lookup = gen_lookup(spark)
+    best = None
+    for _ in range(max(trials, 1)):
+        t0 = time.monotonic()
+        out = run_pipeline(spark, records, lookup)
+        # materialize the full DAG: routed rows + both obsreport aggregates
+        materialize(out["tagged"])
+        out["source_counts"].count()
+        out["sink_counts"].count()
+        wall = time.monotonic() - t0
+        best = wall if best is None else min(best, wall)
+    thr = n_rows / best
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e parse→enrich→route→aggregate + headline operator queries",
+                "value": round(sum(qtimes.values()) + best, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipeline": {
+                    "rows": n_rows,
+                    "wall_s": round(best, 3),
+                    "seq_per_sec": round(thr, 1),
+                    "cores": cpus,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Grok/regex parse planner (SURVEY.md §2.4 P6/P9).
+
+Collector parity target: the attraction engine's ``extract`` action runs a
+regex with named capture groups over an attribute value and fans the groups
+out into new attributes (internal/processor/attraction/attraction.go ~approx,
+extractAttributes; config Regex + SubexpNames).  Spark's ``regexp_extract``
+has no named groups, so the planner compiles the pattern **once at plan
+time** with Python ``re``, maps group-name → group-index, and emits one
+``regexp_extract(col, java_pattern, idx)`` column per group — all JVM-side,
+inside whole-stage codegen.
+
+For multi-pattern grok (first-match-wins across a pattern list) the fast
+path is a ``coalesce`` of ``nullif(regexp_extract(...), '')`` chains; a
+pandas-UDF fallback exists for pattern sets too large to fuse.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Minimal grok alias library (the classic logstash names users expect).
+GROK_LIB = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN|WARNING|ERROR|FATAL",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HEX": r"[0-9a-fA-F]+",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "GREEDYDATA": r".*",
+    "DATA": r".*?",
+    "QUOTEDSTRING": r'"[^"]*"',
+}
+
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+_NAMED_GROUP = re.compile(r"\(\?P<(\w+)>")
+
+
+def grok_to_regex(pattern: str) -> str:
+    """Expand ``%{ALIAS:field}`` tokens into ``(?P<field>...)`` regex groups."""
+
+    def sub(m: re.Match) -> str:
+        alias, name = m.group(1), m.group(2)
+        frag = GROK_LIB.get(alias)
+        if frag is None:
+            raise KeyError(f"unknown grok alias %{{{alias}}}")
+        return f"(?P<{name}>{frag})" if name else f"(?:{frag})"
+
+    return _GROK_TOKEN.sub(sub, pattern)
+
+
+@dataclass
+class GrokPattern:
+    """A compiled parse plan: group name → regexp_extract index.
+
+    ``pattern`` may use grok aliases (``%{LOGLEVEL:level}``) and/or Python
+    named groups.  ``types`` optionally casts extracted strings.
+    """
+
+    pattern: str
+    types: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.regex = grok_to_regex(self.pattern)
+        compiled = re.compile(self.regex)
+        self.group_index: dict[str, int] = dict(compiled.groupindex)
+        if not self.group_index:
+            raise ValueError(f"pattern has no named groups: {self.pattern!r}")
+        # Java regex uses (?<name>...); Python's (?P<name>...) — emit plain
+        # unnamed groups for the JVM and rely on the index map instead.
+        self.java_regex = _NAMED_GROUP.sub("(", self.regex)
+
+    def columns(self, col: Column) -> dict[str, Column]:
+        """One JVM-side regexp_extract per named group; '' (no match) → NULL."""
+        out: dict[str, Column] = {}
+        for name, idx in self.group_index.items():
+            c = F.nullif(F.regexp_extract(col, self.java_regex, idx), F.lit(""))
+            if name in self.types:
+                c = c.cast(self.types[name])
+            out[name] = c.alias(name)
+        return out
+
+    def apply(self, df: DataFrame, col: str, keep: list[str] | None = None) -> DataFrame:
+        cols = [F.col(c) for c in (keep if keep is not None else df.columns)]
+        return df.select(*cols, *self.columns(F.col(col)).values())
+
+
+def grok_extract(df: DataFrame, col: str, pattern: str, types: dict[str, str] | None = None) -> DataFrame:
+    """One-shot helper: parse ``col`` with a grok/regex pattern."""
+    return GrokPattern(pattern, types or {}).apply(df, col)
+
+
+def grok_first_match(col: Column, patterns: list[GrokPattern], group: str) -> Column:
+    """First-match-wins across patterns for one output field (span processor
+    ``to_attributes`` with break_after_match — spanprocessor/span.go ~approx):
+    ``coalesce`` over per-pattern extracts, still fully JVM-side."""
+    candidates = [p.columns(col)[group] for p in patterns if group in p.group_index]
+    if not candidates:
+        raise KeyError(f"group {group!r} not present in any pattern")
+    return F.coalesce(*candidates)
+
+
+def grok_extract_udf(patterns: list[GrokPattern], fields: list[str]):
+    """Pandas-UDF fallback for large multi-pattern sets (Arrow-batched).
+
+    Returns a function series→DataFrame usable with ``mapInPandas``-style
+    iteration; each batch is matched with pandas ``str.extract`` (C loop over
+    the batch, no Python-level per-row dispatch in our code).
+    """
+    compiled = [(re.compile(p.regex), p.group_index) for p in patterns]
+
+    def extract(batch: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame({f: pd.Series([None] * len(batch), dtype="object") for f in fields})
+        remaining = batch.index
+        for rx, gidx in compiled:
+            if len(remaining) == 0:
+                break
+            m = batch.loc[remaining].str.extract(rx)
+            hit = m.notna().any(axis=1)
+            hit_idx = m.index[hit]
+            for f in fields:
+                if f in gidx:
+                    out.loc[hit_idx, f] = m.loc[hit_idx, f]
+            remaining = m.index[~hit]
+        return out
+
+    return extract

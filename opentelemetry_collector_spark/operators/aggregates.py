@@ -1,0 +1,81 @@
+"""Aggregations (SURVEY.md §2.6 A1-A5).
+
+Collector parity targets:
+
+- obsreport receiver/exporter counters (obsreport/obsreport_receiver.go,
+  obsreport_exporter.go ~approx): every receiver counts accepted records,
+  every exporter counts sent records, tagged by component name.  Spark: hash
+  aggregates with automatic partial (map-side) + final phases — the count
+  never moves raw rows, only per-partition partials, so it scales linearly.
+- batch processor size stats (processor/batchprocessor ~approx).
+- prometheus exporter accumulator (exporter/prometheusexporter/accumulator.go
+  ~approx): latest point per (metric, label-set) = max_by(value, ts).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def counts_by_source(df: DataFrame, source_col: str = "source", size_col: str | None = "n_tok") -> DataFrame:
+    """Receiver-side accepted counts (…_accepted_spans analog)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if size_col is not None and size_col in df.columns:
+        aggs.append(F.sum(F.col(size_col)).alias(f"{size_col}_sum"))
+    return df.groupBy(source_col).agg(*aggs)
+
+
+def counts_by_sink(tagged: DataFrame, sink_col: str = "sink", size_col: str | None = "n_tok") -> DataFrame:
+    """Exporter-side sent counts (…_sent_spans analog) over the tagged frame."""
+    return counts_by_source(tagged, sink_col, size_col)
+
+
+def rollup_counts(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Engine extension (SURVEY.md §2.6): per-key subtotals + grand total via
+    ROLLUP — free in Spark, absent in the reference."""
+    return df.rollup(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def latest_by_key(
+    df: DataFrame, keys: list[str], ts_col: str, value_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """Prometheus-accumulator latest-wins: the value of the max-(ts, tiebreak)
+    row per key.  Window row_number (not max_by) so ties are deterministic."""
+    order = [F.col(ts_col).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, F.col(ts_col).alias("latest_ts"), F.col(value_col).alias("latest_value"))
+    )
+
+
+def batch_size_stats(
+    df: DataFrame, id_col: str, batch_size: int = 8192, value_col: str | None = None
+) -> DataFrame:
+    """Batch-processor observability: per-batch row counts + value stats.
+
+    The reference accumulates until send_batch_size (default 8192) then
+    ships; batch membership here is id-range bucketing (floor(id/size)), the
+    deterministic batch analog.
+    """
+    batch = F.floor(F.col(id_col).cast("long") / F.lit(batch_size)).alias("batch_id")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("value_sum"))
+    return df.groupBy(batch).agg(*aggs)
+
+
+def metric_families(df: DataFrame, name_col: str, ts_col: str, value_col: str) -> DataFrame:
+    """Prometheus-receiver metricsbuilder analog: assemble per-metric series
+    (start time = min ts, points collected in ts order)."""
+    return df.groupBy(name_col).agg(
+        F.min(ts_col).alias("start_ts"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.sort_array(F.collect_list(F.struct(ts_col, value_col))).alias("points"),
+    )

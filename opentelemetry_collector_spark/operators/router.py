@@ -1,0 +1,95 @@
+"""Router / fan-out / fan-in (SURVEY.md §2.3 F1-F4, §2.10).
+
+Collector parity targets:
+
+- fanoutconnector (processor/fanoutconnector.go ~approx): deliver one stream
+  to N exporters.  DataFrames are immutable, so the reference's cloning
+  variant (cloningfanoutconnector.go, used when a downstream mutates) is
+  structurally unnecessary — one ``persist()`` of the pre-route frame is the
+  whole story, and every branch write reuses the cached columnar batches.
+- routing-by-attribute (contrib routingprocessor analog; in-core users build
+  it as N pipelines × filter): a routes table of (sink, predicate, priority)
+  evaluated **first-match-wins** — one single-pass ``CASE WHEN`` tag column,
+  so the input is scanned once no matter how many sinks exist.  At 100 TB
+  this matters: N filter-branches = N scans; one tag + partitionBy = 1 scan.
+- receiver sharing / fan-in (service/builder/receivers_builder.go ~approx):
+  ``unionByName`` (UNION ALL — the collector never dedups on merge).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from ..sources.tableio import TableIO
+
+
+@dataclass
+class Route:
+    """One routing rule: SQL predicate string → sink name, ordered by priority."""
+
+    sink: str
+    predicate: str  # SQL boolean expression over the input columns
+    priority: int = 0
+
+
+def route_tag(df: DataFrame, routes: list[Route], tag_col: str = "sink") -> DataFrame:
+    """Single-pass first-match-wins tagging (ascending priority).
+
+    Compiles to one CASE WHEN chain — evaluated once per row inside
+    whole-stage codegen; no per-sink rescan of the input.
+    """
+    ordered = sorted(routes, key=lambda r: r.priority)
+    expr: Column = F.lit(None).cast("string")
+    for r in reversed(ordered):
+        expr = F.when(F.expr(r.predicate), F.lit(r.sink)).otherwise(expr)
+    return df.withColumn(tag_col, expr)
+
+
+def routes_from_df(routes_df: DataFrame) -> list[Route]:
+    """Load routes from a config table (sink, predicate, priority) — the
+    YAML-pipelines analog of the collector's service config."""
+    return [Route(r["sink"], r["predicate"], r["priority"]) for r in routes_df.collect()]
+
+
+def fanout(
+    df: DataFrame,
+    routes: list[Route],
+    io: TableIO | None = None,
+    run_id: str = "run0",
+    tag_col: str = "sink",
+) -> dict[str, DataFrame]:
+    """Route and fan out to per-sink frames (and optionally write each).
+
+    The tagged frame is persisted once (MEMORY_AND_DISK — the F1 shared,
+    non-cloning path); each sink branch is a filter over the cache.  When
+    ``io`` is given, each sink is appended as one committed snapshot group
+    (idempotent — see tableio), mirroring exporterhelper's per-batch send.
+    """
+    tagged = route_tag(df, routes, tag_col).persist(StorageLevel.MEMORY_AND_DISK)
+    out: dict[str, DataFrame] = {}
+    for r in sorted(routes, key=lambda x: x.priority):
+        branch = tagged.filter(F.col(tag_col) == r.sink).drop(tag_col)
+        if io is not None:
+            io.append_group(branch, r.sink, f"{run_id}-{r.sink}")
+        out[r.sink] = branch
+    return out
+
+
+def union_sources(frames: list[DataFrame]) -> DataFrame:
+    """Fan-in: multiple receivers → one pipeline (UNION ALL, no dedup)."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def exhaustiveness_check(df: DataFrame, routed: dict[str, DataFrame], tag_col: str = "sink") -> DataFrame:
+    """Verification op: input EXCEPT ALL union-of-sinks must be empty
+    (routed-row equality — the fanout unit tests' every-consumer-sees-every-
+    batch assertion, fanoutconnector_test.go ~approx)."""
+    union = union_sources(list(routed.values()))
+    return df.exceptAll(union.select(*df.columns))

@@ -1,0 +1,41 @@
+"""Window-shaped semantics (SURVEY.md §2.8 W1-W3).
+
+The reference has no SQL window functions; these are the windowed readings
+of its stateful behaviors:
+
+- W1 delta→cumulative (prometheusexporter accumulator)
+- W2 start-time / first-sample per series (prometheusreceiver metricsbuilder)
+- W3 rate limiting (tailsamplingprocessor rate_limiting policy ~approx:
+  cap records per second) — ranking inside a time bucket.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def cumulative_sum(df: DataFrame, keys: list[str], ts_col: str, value_col: str, tiebreak: str | None = None, out_col: str = "cum_value") -> DataFrame:
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def first_ts(df: DataFrame, keys: list[str], ts_col: str, out_col: str = "start_ts") -> DataFrame:
+    w = Window.partitionBy(*keys)
+    return df.withColumn(out_col, F.min(ts_col).over(w))
+
+
+def rate_limit_topk(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    limit: int,
+    bucket: str = "second",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Keep at most ``limit`` rows per (keys, time-bucket) in arrival order —
+    load-shedding as a ranking window, first-arrived wins."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(F.date_trunc(bucket, F.col(ts_col)), *keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= limit).drop("_rn")

@@ -1,0 +1,121 @@
+"""The flagship pipeline: parse → enrich → route → aggregate (north_star).
+
+Collector analog, end to end (SURVEY.md §3.2): OTLP receiver → attributes/
+span processors (regex extract) → resource processor (lookup enrich) →
+fanoutconnector → per-exporter sinks, with obsreport counters at ingress and
+egress.  Spark reading: one lazy DataFrame chain per stage; the only
+materializations are the sink writes and the aggregate collections.
+
+Scale posture (the 100 TB story):
+
+- parse/enrich are narrow (no shuffle): regexp_extract in codegen + a
+  broadcast hash join.  The input scan is the only full pass.
+- route is a single CASE-WHEN tag (one pass) + per-sink filtered writes over
+  one persisted frame.
+- the pre-write ``repartition(salted_key)`` splits the zipf-head source
+  across SALT buckets so no reducer/writer owns 34 % of the data.
+- aggregates are partial+final hash aggs (bytes moved ≈ #groups, not #rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.grok import GrokPattern
+from ..functions.hashing import salted_key
+from ..operators.aggregates import counts_by_sink, counts_by_source
+from ..operators.enrich import broadcast_enrich
+from ..operators.router import Route, route_tag
+from ..sources.tableio import TableIO
+from .metrics import StageMetrics
+
+# The flagship grok pattern over the synthetic raw lines (FIXTURES.md §2).
+RAW_LINE_PATTERN = GrokPattern(
+    r"^%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} svc=(?P<svc>[\w-]+) "
+    r'trace=%{HEX:tid} msg="(?P<msg>[^"]*)" k=%{INT:k}$',
+    types={"k": "int", "ts": "timestamp"},
+)
+
+DEFAULT_ROUTES = [
+    Route("sink_hot", "source = 'src0'", 0),
+    Route("sink_warm", "source IN ('src1','src2','src3')", 1),
+    Route("sink_errors", "level = 'ERROR'", 2),
+    Route("sink_default", "TRUE", 9),
+]
+
+
+@dataclass
+class PipelineSpec:
+    """Declarative pipeline config — the YAML service.pipelines analog."""
+
+    routes: list[Route] = field(default_factory=lambda: list(DEFAULT_ROUTES))
+    grok: GrokPattern = field(default_factory=lambda: RAW_LINE_PATTERN)
+    raw_col: str = "raw"
+    source_col: str = "source"
+    id_col: str = "doc_id"
+    size_col: str = "n_tok"
+    salt_buckets: int = 32
+    lookup_defaults: dict[str, object] = field(default_factory=lambda: {"env": "unknown"})
+
+
+def run_pipeline(
+    spark: SparkSession,
+    records: DataFrame,
+    lookup: DataFrame,
+    spec: PipelineSpec | None = None,
+    io: TableIO | None = None,
+    run_id: str = "run0",
+    metrics: StageMetrics | None = None,
+) -> dict[str, DataFrame]:
+    """Execute the flagship job; returns the stage frames + aggregates.
+
+    Returns keys: parsed, enriched, tagged, source_counts, sink_counts.
+    When ``io`` is given, each sink subset is committed as a snapshot group
+    and the metrics table is appended (resumable via plans.ledger).
+    """
+    spec = spec or PipelineSpec()
+    metrics = metrics or StageMetrics(run_id=run_id)
+
+    # --- parse (attributes/span processor analog; narrow, codegen) --------
+    if spec.raw_col in records.columns:
+        parsed = records.select("*", *spec.grok.columns(F.col(spec.raw_col)).values())
+    else:
+        parsed = records
+
+    # --- enrich (resource processor analog; broadcast hash join) ----------
+    enriched = broadcast_enrich(parsed, lookup, on=spec.source_col, defaults=spec.lookup_defaults)
+
+    # --- route (fanoutconnector analog; single-pass tag) ------------------
+    tagged = route_tag(enriched, spec.routes)
+
+    # --- aggregate (obsreport parity counters) -----------------------------
+    src_counts = counts_by_source(records, spec.source_col, spec.size_col)
+    sink_counts = counts_by_sink(tagged, "sink", spec.size_col)
+
+    out = {
+        "parsed": parsed,
+        "enriched": enriched,
+        "tagged": tagged,
+        "source_counts": src_counts,
+        "sink_counts": sink_counts,
+        "metrics": metrics,
+    }
+
+    if io is not None:
+        # Salt the routed write so the zipf-head source spreads across
+        # writers (north_rule skew mandate), then write per sink.
+        salted = tagged.repartition(
+            spec.salt_buckets, *salted_key(F.col("sink"), F.col(spec.id_col), spec.salt_buckets)
+        )
+        cached = salted.persist()
+        for r in sorted(spec.routes, key=lambda x: x.priority):
+            branch = cached.filter(F.col("sink") == r.sink)
+            snap = metrics.timeit(
+                f"write:{r.sink}", lambda b=branch, s=r.sink: io.append_group(b, s, f"{run_id}-{s}")
+            )
+            metrics.rows.append((run_id, f"commit:{r.sink}", -1, None, None, None, snap))
+        cached.unpersist()
+    return out

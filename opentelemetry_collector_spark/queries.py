@@ -1,0 +1,705 @@
+"""Driver-contract queries: one key per SURVEY.md §2 operator.
+
+Each entry is a pair: a Spark implementation (built on the operators/
+functions modules) and an equivalent ANSI-SQL oracle that DuckDB runs over
+the same parquet tables.  The driver compares row-count + schema + an
+order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- doubles are rounded on both sides before comparison;
+- anything engine-hash-dependent (xxhash64, FNV) uses the *portable* integer
+  arithmetic variant here, while the engine-native fast paths live in the
+  operators modules and are covered by pytest instead.
+
+Keys marked ORACLE_NONE are genuinely non-SQL-expressible (stateful resume,
+partition introspection) and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .functions.grok import GrokPattern
+from .functions.scalars import enum_code, epoch_micros, hex_id
+from .operators.aggregates import batch_size_stats, latest_by_key, rollup_counts
+from .operators.enrich import broadcast_enrich
+from .operators.filters import MatchProperties, include_exclude_filter
+from .operators.router import Route, exhaustiveness_check, fanout, route_tag, union_sources
+from .operators.sampling import TailPolicy, probabilistic_sample, tail_sample
+from .operators.windows import cumulative_sum, first_ts, rate_limit_topk
+from .sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.1 sources / scans
+# --------------------------------------------------------------------------
+
+@_q(
+    "scan_sequences",
+    "SELECT doc_id, source, n_chars FROM documents WHERE n_chars >= 100",
+)
+def scan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 native scan with pushed filter + pruned columns (only 3 of 5 read)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 100)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@_q(
+    "scan_normalize",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS record_id,
+           epoch_us(ts) AS ts_us,
+           CASE lower(event_type) WHEN 'error' THEN 17 WHEN 'click' THEN 9
+                WHEN 'view' THEN 9 WHEN 'purchase' THEN 13 WHEN 'signup' THEN 13
+                ELSE 0 END AS severity,
+           ROUND(value, 4) AS value
+    FROM events
+    """,
+)
+def scan_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S4 receiver normalization: rename + cast + enum mapping onto the
+    common schema (jaeger/OC translator analog)."""
+    sev = enum_code(
+        F.col("event_type"),
+        {"error": 17, "click": 9, "view": 9, "purchase": 13, "signup": 13},
+    )
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("record_id"),
+        epoch_micros(F.col("ts")).alias("ts_us"),
+        sev.alias("severity"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@_q(
+    "parse_json_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           event_type
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+)
+def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 zipkin-receiver analog: JSON body decode (from_json/get_json_object)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k"), "event_type").filter(F.col("k") > 50)
+
+
+@_q(
+    "gen_synthetic",
+    """
+    SELECT i AS id,
+           'rec' || lpad(CAST(i AS VARCHAR), 8, '0') AS rec_id,
+           ((i % 100003) * 2654435761) % 10 AS bucket,
+           CAST(8 + ((i % 100003) * 2654435761) % 121 AS INTEGER) AS n_tok
+    FROM range(1000) t(i)
+    """,
+)
+def gen_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 host-metrics analog: deterministic generator source (spark.range +
+    portable arithmetic so the oracle regenerates identical rows)."""
+    i = F.col("id")
+    mix = F.pmod(F.pmod(i, F.lit(100003)) * F.lit(2654435761), F.lit(10))
+    ntok = F.pmod(F.pmod(i, F.lit(100003)) * F.lit(2654435761), F.lit(121))
+    return spark.range(1000).select(
+        i.alias("id"),
+        F.concat(F.lit("rec"), F.lpad(i.cast("string"), 8, "0")).alias("rec_id"),
+        mix.alias("bucket"),
+        (F.lit(8) + ntok).cast("int").alias("n_tok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 attraction actions (P1-P7) + span ops
+# --------------------------------------------------------------------------
+
+@_q(
+    "attr_insert",
+    """
+    SELECT doc_id, COALESCE(NULLIF(lang, 'de'), 'unknown') AS lang, source
+    FROM documents
+    """,
+)
+def attr_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 insert: set only where absent (NULL) — de rows nulled first to
+    exercise the fill path."""
+    from .operators.attraction import AttrAction, apply_actions
+
+    df = _t(spark, sf_dir, "documents").withColumn("lang", F.nullif("lang", F.lit("de")))
+    out = apply_actions(df, [AttrAction("insert", "lang", value="unknown")])
+    return out.select("doc_id", "lang", "source")
+
+
+@_q(
+    "attr_update",
+    """
+    SELECT doc_id,
+           CASE WHEN NULLIF(lang, 'de') IS NOT NULL THEN upper(NULLIF(lang,'de'))
+                ELSE NULLIF(lang, 'de') END AS lang
+    FROM documents
+    """,
+)
+def attr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 update: set only where present; absent (NULL) keys untouched."""
+    from .operators.attraction import AttrAction, apply_actions
+
+    df = _t(spark, sf_dir, "documents").withColumn("lang", F.nullif("lang", F.lit("de")))
+    df = df.withColumn("_u", F.upper("lang"))
+    out = apply_actions(df, [AttrAction("update", "lang", from_attribute="_u")])
+    return out.select("doc_id", "lang")
+
+
+@_q(
+    "attr_upsert",
+    "SELECT doc_id, 'pipelineA' AS pipeline, source FROM documents",
+)
+def attr_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 upsert: unconditional set (new column here)."""
+    from .operators.attraction import AttrAction, apply_actions
+
+    out = apply_actions(
+        _t(spark, sf_dir, "documents"), [AttrAction("upsert", "pipeline", value="pipelineA")]
+    )
+    return out.select("doc_id", "pipeline", "source")
+
+
+@_q(
+    "attr_delete",
+    "SELECT doc_id, source, n_chars FROM documents",
+)
+def attr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 delete: drop attributes (text, lang removed)."""
+    from .operators.attraction import AttrAction, apply_actions
+
+    out = apply_actions(
+        _t(spark, sf_dir, "documents"),
+        [AttrAction("delete", "text"), AttrAction("delete", "lang")],
+    )
+    return out
+
+
+@_q(
+    "attr_hash",
+    "SELECT doc_id, sha256(source) AS source, lang FROM documents",
+)
+def attr_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 hash: digest an attribute in place (PII scrub).  Reference digest is
+    SHA-1 (attraction.go hasher); DuckDB 1.0 lacks sha1 so the oracle-checked
+    variant uses sha256 — the sha1 path is pytest-verified instead."""
+    from .operators.attraction import AttrAction, apply_actions
+
+    out = apply_actions(
+        _t(spark, sf_dir, "documents"), [AttrAction("hash", "source", value="sha256")]
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+@_q(
+    "attr_convert",
+    """
+    SELECT event_id, CAST(value AS VARCHAR) AS value, CAST(user_id AS DOUBLE) AS user_id
+    FROM events
+    """,
+)
+def attr_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 convert: attribute type casts."""
+    from .operators.attraction import AttrAction, apply_actions
+
+    out = apply_actions(
+        _t(spark, sf_dir, "events"),
+        [AttrAction("convert", "value", converted_type="string"),
+         AttrAction("convert", "user_id", converted_type="double")],
+    )
+    return out.select("event_id", "value", "user_id")
+
+
+@_q(
+    "span_rename",
+    """
+    SELECT doc_id, concat_ws('::', lang, source, CAST(n_chars AS VARCHAR)) AS span_name
+    FROM documents
+    """,
+)
+def span_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 span name from attributes (spanprocessor processFromAttributes)."""
+    from .operators.attraction import span_rename as rename
+
+    out = rename(
+        _t(spark, sf_dir, "documents"), "span_name", ["lang", "source", "n_chars"], "::"
+    )
+    return out.select("doc_id", "span_name")
+
+
+@_q(
+    "parse_grok",
+    """
+    WITH lines AS (
+      SELECT event_id,
+             upper(event_type) || ' svc=api-' || CAST(user_id % 7 AS VARCHAR)
+               || ' k=' || CAST(event_id % 100 AS VARCHAR) AS raw
+      FROM events
+    )
+    SELECT event_id,
+           regexp_extract(raw, '^(\\w+) svc=([\\w-]+) k=(\\d+)$', 1) AS level,
+           regexp_extract(raw, '^(\\w+) svc=([\\w-]+) k=(\\d+)$', 2) AS svc,
+           CAST(regexp_extract(raw, '^(\\w+) svc=([\\w-]+) k=(\\d+)$', 3) AS INTEGER) AS k
+    FROM lines
+    """,
+)
+def parse_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P9 extract: named-capture-group regex parse via the grok planner
+    (compiled once, emitted as JVM regexp_extract columns)."""
+    ev = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.upper("event_type"), F.lit(" svc=api-"), (F.col("user_id") % 7).cast("string"),
+        F.lit(" k="), (F.col("event_id") % 100).cast("string"),
+    )
+    plan = GrokPattern(r"^(?P<level>\w+) svc=(?P<svc>[\w-]+) k=(?P<k>\d+)$", types={"k": "int"})
+    lines = ev.select("event_id", raw.alias("raw"))
+    return lines.select("event_id", *plan.columns(F.col("raw")).values())
+
+
+@_q(
+    "scalar_suite",
+    """
+    SELECT event_id,
+           lpad(lower(to_hex(user_id)), 16, '0') AS span_id,
+           epoch_us(ts) AS ts_us,
+           date_trunc('hour', ts) AS ts_hour,
+           COALESCE(NULLIF(event_type, 'view'), 'unknown_service') AS service,
+           concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag
+    FROM events
+    """,
+)
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 translator scalars: hex ids, epoch conversions, coalesce fallback."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        hex_id(F.col("user_id")).alias("span_id"),
+        epoch_micros(F.col("ts")).alias("ts_us"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("unknown_service")).alias("service"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 filters & sampling
+# --------------------------------------------------------------------------
+
+@_q(
+    "filter_include_exclude",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE lang IN ('en','fr') AND regexp_matches(source, '^src[0-9]$')
+      AND NOT (source IN ('src3','src5'))
+    """,
+)
+def filter_include_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 matcher: include (strict + regexp) ∧ ¬exclude (strict)."""
+    include = MatchProperties("strict", {"lang": ["en", "fr"]})
+    include_re = MatchProperties("regexp", {"source": [r"^src[0-9]$"]})
+    exclude = MatchProperties("strict", {"source": ["src3", "src5"]})
+    df = _t(spark, sf_dir, "documents")
+    df = include_exclude_filter(df, include=include, exclude=exclude)
+    df = include_exclude_filter(df, include=include_re)
+    return df.select("doc_id", "lang", "source")
+
+
+@_q(
+    "sample_prob",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE ((doc_id % 100003) * 2654435761) % 16384 < 4096
+    """,
+)
+def sample_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 probabilistic sampler, 25 % keep rate.  Oracle-portable hash here;
+    the bit-exact FNV-1a path (collector parity) is pytest-verified."""
+    df = _t(spark, sf_dir, "documents")
+    return probabilistic_sample(df, 25.0, "doc_id", method="portable").select("doc_id", "source")
+
+
+@_q(
+    "tail_sample_semi_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, ROUND(e.value, 4) AS value
+    FROM events e
+    WHERE e.user_id IN (
+      SELECT user_id FROM events
+      GROUP BY user_id
+      HAVING max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+          OR max(CASE WHEN value BETWEEN 90 AND 1e9 THEN 1 ELSE 0 END) = 1
+    )
+    """,
+)
+def tail_sample_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 tail sampler: whole-trace keep via policy aggregates + left-semi
+    join (user_id stands in for trace_id on the events table)."""
+    ev = _t(spark, sf_dir, "events")
+    out = tail_sample(
+        ev,
+        "user_id",
+        [
+            TailPolicy("string_attribute", col="event_type", values=["error"]),
+            TailPolicy("numeric_attribute", col="value", lo=90.0, hi=1e9),
+        ],
+    )
+    return out.select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+
+
+# --------------------------------------------------------------------------
+# §2.3 / §2.10 routing, fan-out, fan-in, set ops
+# --------------------------------------------------------------------------
+
+_DOC_ROUTES = [
+    Route("sink_hot", "source = 'src0'", 0),
+    Route("sink_warm", "source IN ('src1','src2','src3')", 1),
+    Route("sink_intl", "lang IN ('zh','de')", 2),
+    Route("sink_default", "TRUE", 9),
+]
+
+_DOC_ROUTES_SQL = """
+    CASE WHEN source = 'src0' THEN 'sink_hot'
+         WHEN source IN ('src1','src2','src3') THEN 'sink_warm'
+         WHEN lang IN ('zh','de') THEN 'sink_intl'
+         ELSE 'sink_default' END
+"""
+
+
+@_q(
+    "route_by_source",
+    f"SELECT doc_id, source, lang, {_DOC_ROUTES_SQL} AS sink FROM documents",
+)
+def route_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 routing: first-match-wins single-pass tag (one CASE, one scan)."""
+    df = _t(spark, sf_dir, "documents")
+    return route_tag(df, _DOC_ROUTES).select("doc_id", "source", "lang", "sink")
+
+
+@_q(
+    "route_fanout",
+    f"""
+    WITH tagged AS (SELECT doc_id, source, lang, {_DOC_ROUTES_SQL} AS sink FROM documents)
+    SELECT doc_id, source, sink FROM tagged WHERE sink = 'sink_hot'
+    UNION ALL SELECT doc_id, source, sink FROM tagged WHERE sink = 'sink_warm'
+    UNION ALL SELECT doc_id, source, sink FROM tagged WHERE sink = 'sink_intl'
+    UNION ALL SELECT doc_id, source, sink FROM tagged WHERE sink = 'sink_default'
+    """,
+)
+def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 fanout: branch frames over one persisted tag pass, re-unioned here
+    so the driver can value-check every branch at once."""
+    df = _t(spark, sf_dir, "documents")
+    branches = fanout(df, _DOC_ROUTES)
+    frames = [
+        b.withColumn("sink", F.lit(s)).select("doc_id", "source", "sink")
+        for s, b in branches.items()
+    ]
+    return union_sources(frames)
+
+
+@_q(
+    "union_sources",
+    """
+    SELECT 'ev' || CAST(event_id AS VARCHAR) AS record_id, event_type AS source,
+           'events' AS kind
+    FROM events
+    UNION ALL
+    SELECT 'doc' || CAST(doc_id AS VARCHAR) AS record_id, source, 'documents' AS kind
+    FROM documents
+    """,
+)
+def union_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 fan-in: two receivers feed one pipeline (UNION ALL, no dedup)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("ev"), F.col("event_id").cast("string")).alias("record_id"),
+        F.col("event_type").alias("source"),
+        F.lit("events").alias("kind"),
+    )
+    dc = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("record_id"),
+        F.col("source"),
+        F.lit("documents").alias("kind"),
+    )
+    return union_sources([ev, dc])
+
+
+@_q(
+    "route_exhaustive_check",
+    f"""
+    WITH tagged AS (SELECT doc_id, source, lang, n_chars, text,
+                           {_DOC_ROUTES_SQL} AS sink FROM documents)
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    EXCEPT ALL
+    SELECT doc_id, text, lang, source, n_chars FROM tagged
+    """,
+)
+def route_exhaustive_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 disjointness/exhaustiveness: input EXCEPT ALL union-of-sinks = ∅
+    (the fanout unit tests' every-batch-delivered assertion)."""
+    df = _t(spark, sf_dir, "documents")
+    branches = fanout(df, _DOC_ROUTES)
+    return exhaustiveness_check(df, branches)
+
+
+# --------------------------------------------------------------------------
+# §2.6 aggregations + §2.8 windows
+# --------------------------------------------------------------------------
+
+@_q(
+    "agg_counts_by_source",
+    """
+    SELECT source, count(*) AS n_rows, sum(n_chars) AS n_chars_sum
+    FROM documents GROUP BY source
+    """,
+)
+def agg_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 obsreport receiver counters (…_accepted_spans analog)."""
+    from .operators.aggregates import counts_by_source
+
+    return counts_by_source(_t(spark, sf_dir, "documents"), "source", "n_chars")
+
+
+@_q(
+    "agg_counts_by_sink",
+    f"""
+    WITH tagged AS (SELECT n_chars, {_DOC_ROUTES_SQL} AS sink FROM documents)
+    SELECT sink, count(*) AS n_rows, sum(n_chars) AS n_chars_sum
+    FROM tagged GROUP BY sink
+    """,
+)
+def agg_counts_by_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 obsreport exporter counters (…_sent_spans analog)."""
+    from .operators.aggregates import counts_by_sink
+
+    tagged = route_tag(_t(spark, sf_dir, "documents"), _DOC_ROUTES)
+    return counts_by_sink(tagged, "sink", "n_chars")
+
+
+@_q(
+    "agg_rollup_counts",
+    """
+    SELECT source, lang, count(*) AS n_rows
+    FROM documents GROUP BY ROLLUP (source, lang)
+    """,
+)
+def agg_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension: per-source×lang subtotals + grand total via ROLLUP."""
+    return rollup_counts(_t(spark, sf_dir, "documents"), ["source", "lang"])
+
+
+@_q(
+    "agg_latest_by_key",
+    """
+    SELECT user_id, event_type, latest_ts, latest_value FROM (
+      SELECT user_id, event_type, ts AS latest_ts, ROUND(value, 4) AS latest_value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def agg_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/K5 prometheus accumulator: latest point per (metric, label-set)."""
+    ev = _t(spark, sf_dir, "events").withColumn("value", F.round("value", 4))
+    return latest_by_key(ev, ["user_id", "event_type"], "ts", "value", tiebreak="event_id")
+
+
+@_q(
+    "batch_size_stats",
+    """
+    SELECT CAST(floor(event_id / 64) AS BIGINT) AS batch_id, count(*) AS n_rows,
+           min(event_id) AS min_id, max(event_id) AS max_id,
+           ROUND(sum(value), 4) AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def batch_size_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 batch processor observability: per-batch sizes (send_batch_size
+    bucketing, deterministic id-range batches)."""
+    return batch_size_stats(_t(spark, sf_dir, "events"), "event_id", 64, "value")
+
+
+@_q(
+    "win_cumulative_sum",
+    """
+    SELECT event_id, user_id, ROUND(sum(ROUND(value,4)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+    FROM events
+    """,
+)
+def win_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 delta→cumulative (prometheus accumulator as a window)."""
+    ev = _t(spark, sf_dir, "events").withColumn("value", F.round("value", 4))
+    out = cumulative_sum(ev, ["user_id"], "ts", "value", tiebreak="event_id")
+    return out.select("event_id", "user_id", F.round("cum_value", 4).alias("cum_value"))
+
+
+@_q(
+    "win_first_ts",
+    """
+    SELECT event_id, user_id, min(ts) OVER (PARTITION BY user_id) AS start_ts
+    FROM events
+    """,
+)
+def win_first_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 series start-time (metricsbuilder start-ts tracking)."""
+    return first_ts(_t(spark, sf_dir, "events"), ["user_id"], "ts").select(
+        "event_id", "user_id", "start_ts"
+    )
+
+
+@_q(
+    "win_rate_limit_topk",
+    """
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def win_rate_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 rate limiting: keep first 5 records per (hour, type) in arrival order."""
+    out = rate_limit_topk(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", 5, bucket="hour", tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# §2.7 joins + §2.9 top-k
+# --------------------------------------------------------------------------
+
+@_q(
+    "enrich_broadcast",
+    """
+    SELECT d.doc_id, d.source,
+           COALESCE(l.env, 'unknown') AS env, COALESCE(l.team, 'none') AS team
+    FROM documents d
+    LEFT JOIN (VALUES
+        ('src0','prod','team0'), ('src1','staging','team1'), ('src2','prod','team2'),
+        ('src3','staging','team0'), ('src4','prod','team1'), ('src5','staging','team2'),
+        ('src6','prod','team0'), ('src7','staging','team1'), ('src8','prod','team2')
+    ) l(source, env, team) USING (source)
+    """,
+)
+def enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P10/P11: broadcast hash left join against a tiny dimension; misses
+    (src9+) fall back via coalesce — the insert-if-absent semantics."""
+    rows = [
+        (f"src{k}", "prod" if k % 2 == 0 else "staging", f"team{k % 3}") for k in range(9)
+    ]
+    lookup = spark.createDataFrame(rows, "source string, env string, team string")
+    df = _t(spark, sf_dir, "documents")
+    out = broadcast_enrich(df, lookup, on="source", defaults={"env": "unknown", "team": "none"})
+    return out.select("doc_id", "source", "env", "team")
+
+
+@_q(
+    "join_star_schema",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           count(*) AS n_items,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 star join: big fact shuffle join + broadcast dims + AQE.  The
+    lineitem⋈orders join is the only real shuffle; customer/nation/region
+    broadcast (checked in tests via the physical plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "topk_slowest_partitions",
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 10
+    """,
+)
+def topk_slowest_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 top-k reporting: global orderBy+limit (TakeOrderedAndProject —
+    per-partition top-k then driver merge; never a full sort at scale)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .limit(10)
+    )
+
+
+@_q(
+    "sink_json",
+    """
+    SELECT doc_id,
+           '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"source":"' || source
+             || '","lang":"' || lang || '"}' AS json
+    FROM documents
+    """,
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 file exporter: line-delimited JSON rendering (manual concat so the
+    byte-level format is engine-independent; to_json is used in the real
+    sink path)."""
+    d = _t(spark, sf_dir, "documents")
+    js = F.concat(
+        F.lit('{"doc_id":'), F.col("doc_id").cast("string"),
+        F.lit(',"source":"'), F.col("source"),
+        F.lit('","lang":"'), F.col("lang"), F.lit('"}'),
+    )
+    return d.select("doc_id", js.alias("json"))

@@ -1,0 +1,144 @@
+"""TableIO seam: Iceberg sinks with a parquet-snapshot fallback (SURVEY.md §7.0).
+
+Collector analog: exporterhelper's queued-retry sender gives at-least-once
+delivery with bounded retry (exporter/exporterhelper/queued_retry.go ~approx);
+the Spark-native equivalent of "don't lose or double-send a batch" is
+**idempotent per-group commits + a resume ledger**: work is split into named
+partition groups, each group's write is committed atomically (manifest file
+written last), and a re-run skips already-committed groups.  This is what the
+north_rule calls "resumable from Iceberg snapshot checkpoints".
+
+Two implementations behind one interface:
+
+- ``IcebergIO``      — used when an Iceberg catalog is configured on the
+  session (``spark.sql.catalog.<name>`` + iceberg-spark-runtime jar); uses
+  ``df.writeTo(table).append()`` whose snapshot commit is already atomic.
+- ``ParquetSnapshotIO`` — offline fallback (no Iceberg jar in this sandbox):
+  directory-per-table with ``data/group=<gid>/`` parquet plus a
+  ``_snapshots/<gid>.json`` manifest written **after** the data; a group is
+  visible iff its manifest exists, so a crash mid-write leaves an invisible
+  partial group that the re-run overwrites.  Same interface — moving to real
+  Iceberg is configuration-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    """Interface: append-by-group with idempotent commit + committed-group ledger."""
+
+    def append_group(self, df: DataFrame, table: str, group_id: str) -> str:
+        raise NotImplementedError
+
+    def committed_groups(self, table: str) -> set[str]:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        raise NotImplementedError
+
+
+@dataclass
+class ParquetSnapshotIO(TableIO):
+    """Parquet-backed snapshot tables under ``root/<table>/``.
+
+    Layout::
+
+        root/<table>/data/group=<gid>/part-*.parquet   (data, maybe partial)
+        root/<table>/_snapshots/<gid>.json             (commit marker, written last)
+
+    ``append_group`` is idempotent: re-running a committed group is a no-op;
+    re-running an uncommitted (crashed) group overwrites its directory.
+    """
+
+    root: str
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def append_group(self, df: DataFrame, table: str, group_id: str) -> str:
+        tdir = self._tdir(table)
+        snap_dir = os.path.join(tdir, "_snapshots")
+        manifest = os.path.join(snap_dir, f"{group_id}.json")
+        if os.path.exists(manifest):  # already committed → idempotent skip
+            with open(manifest) as f:
+                return json.load(f)["snapshot_id"]
+        data_dir = os.path.join(tdir, "data", f"group={group_id}")
+        df.write.mode("overwrite").parquet(data_dir)
+        snapshot_id = f"snap-{group_id}-{uuid.uuid4().hex[:12]}"
+        os.makedirs(snap_dir, exist_ok=True)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"snapshot_id": snapshot_id, "group_id": group_id, "committed_at": time.time()},
+                f,
+            )
+        os.replace(tmp, manifest)  # atomic rename = the commit point
+        return snapshot_id
+
+    def committed_groups(self, table: str) -> set[str]:
+        snap_dir = os.path.join(self._tdir(table), "_snapshots")
+        if not os.path.isdir(snap_dir):
+            return set()
+        return {f[: -len(".json")] for f in os.listdir(snap_dir) if f.endswith(".json")}
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        """Read only committed groups (manifest-gated visibility)."""
+        committed = sorted(self.committed_groups(table))
+        if not committed:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshots")
+        paths = [os.path.join(self._tdir(table), "data", f"group={g}") for g in committed]
+        return spark.read.option("basePath", os.path.join(self._tdir(table), "data")).parquet(*paths)
+
+
+@dataclass
+class IcebergIO(TableIO):
+    """Real Iceberg path (requires iceberg-spark-runtime on the session).
+
+    Not exercisable in this sandbox (no jar, offline) but kept thin and
+    obvious: Iceberg's snapshot commit is atomic, so append_group maps to a
+    plain ``writeTo().append()`` tagged with the group id as a snapshot
+    property, and the ledger is the snapshot log.
+    """
+
+    catalog: str
+
+    def _fq(self, table: str) -> str:
+        return f"{self.catalog}.{table}"
+
+    def append_group(self, df: DataFrame, table: str, group_id: str) -> str:
+        if group_id in self.committed_groups(table):
+            return f"iceberg-dup-{group_id}"
+        df.writeTo(self._fq(table)).option("snapshot-property.group_id", group_id).append()
+        last = (
+            df.sparkSession.sql(f"SELECT snapshot_id FROM {self._fq(table)}.snapshots ORDER BY committed_at DESC LIMIT 1")
+            .collect()[0][0]
+        )
+        return str(last)
+
+    def committed_groups(self, table: str) -> set[str]:
+        spark = SparkSession.getActiveSession()
+        try:
+            rows = spark.sql(
+                f"SELECT summary['group_id'] AS g FROM {self._fq(table)}.snapshots"
+            ).collect()
+        except Exception:
+            return set()
+        return {r.g for r in rows if r.g is not None}
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.table(self._fq(table))
+
+
+def make_io(root_or_catalog: str, kind: str = "parquet") -> TableIO:
+    """Factory: ``kind='iceberg'`` when the runtime jar + catalog exist."""
+    if kind == "iceberg":
+        return IcebergIO(catalog=root_or_catalog)
+    return ParquetSnapshotIO(root=root_or_catalog)

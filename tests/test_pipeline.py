@@ -1,0 +1,114 @@
+"""End-to-end pipeline + resume ledger — mirrors the reference testbed
+correctness flow (validator.assertSentRecdTracingDataEqual): every record
+sent == received per sink, token arrays bit-equal, counts identical."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.plans.ledger import run_with_resume
+from opentelemetry_collector_spark.plans.metrics import StageMetrics, partition_lineage
+from opentelemetry_collector_spark.plans.pipeline import PipelineSpec, run_pipeline
+from opentelemetry_collector_spark.sources.synthetic import (
+    gen_lookup,
+    gen_sequences,
+    gen_telemetry,
+)
+from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def tel(spark):
+    return gen_telemetry(spark, N, seed=42).cache()
+
+
+def test_generator_deterministic(spark):
+    a = gen_sequences(spark, 500, 42).collect()
+    b = gen_sequences(spark, 500, 42).collect()
+    assert a == b
+    # partitioning must not change values (content-addressed generator)
+    c = gen_sequences(spark, 500, 42, partitions=7).orderBy("doc_id").collect()
+    assert sorted(a, key=lambda r: r.doc_id) == c
+
+
+def test_token_invariant(tel):
+    assert tel.filter(F.size("tokens") != F.col("n_tok")).count() == 0
+
+
+def test_source_skew_shape(tel):
+    counts = {r.source: r.n for r in tel.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] > counts["src9"] * 5  # zipf head ≈ 34% vs ≈ 3.4%
+
+
+def test_pipeline_counts_and_row_equality(spark, tel):
+    out = run_pipeline(spark, tel, gen_lookup(spark))
+    sinks = {r.sink: r.n_rows for r in out["sink_counts"].collect()}
+    assert sum(sinks.values()) == N
+    # independent recomputation of expected per-sink counts (oracle-style)
+    t = out["tagged"]
+    hot = t.filter("source = 'src0'").count()
+    assert sinks["sink_hot"] == hot
+    # routed-row equality incl. exact token arrays: union of sinks ≅ input
+    from opentelemetry_collector_spark.operators.router import union_sources
+
+    branches = [t.filter(F.col("sink") == s).drop("sink") for s in sinks]
+    union = union_sources(branches).select(*tel.columns)
+    assert tel.exceptAll(union).count() == 0
+    assert union.count() == tel.count()
+
+
+def test_enrich_defaults_for_missing_dim(spark, tel):
+    out = run_pipeline(spark, tel, gen_lookup(spark))
+    env = {r.source: r.env for r in out["enriched"].select("source", "env").distinct().collect()}
+    assert env["src9"] == "unknown"  # src9 has no lookup row
+    assert env["src0"] == "prod"
+
+
+def test_parse_stage_values(spark, tel):
+    parsed = run_pipeline(spark, tel, gen_lookup(spark))["parsed"]
+    row = parsed.filter("doc_id = 'doc0000000005'").collect()[0]
+    # golden values recomputed from the FIXTURES.md formulas
+    assert row.level == "INFO" and row.svc == "api-5" and row.k == 5
+    assert row.ts is not None and len(row.tid) == 32
+
+
+def test_snapshot_io_idempotent_and_resume(spark, tel, tmp_path):
+    io = ParquetSnapshotIO(root=str(tmp_path))
+    first = io.append_group(tel.limit(10), "t", "g1")
+    again = io.append_group(tel.limit(10), "t", "g1")  # no-op, returns same snapshot
+    assert first == again
+    assert io.read(spark, "t").count() == 10
+
+    with pytest.raises(RuntimeError):
+        run_with_resume(spark, tel, io, "resum", n_groups=5, fail_after=2)
+    assert len(io.committed_groups("resum")) == 2
+    done = run_with_resume(spark, tel, io, "resum", n_groups=5)
+    assert len(done) == 3
+    got = io.read(spark, "resum")
+    assert got.count() == N
+    # exactly-once: no duplicated doc_ids after crash+resume
+    assert got.select("doc_id").distinct().count() == N
+
+
+def test_full_pipeline_with_sinks_and_metrics(spark, tel, tmp_path):
+    io = ParquetSnapshotIO(root=str(tmp_path))
+    m = StageMetrics(run_id="t1")
+    run_pipeline(spark, tel, gen_lookup(spark), io=io, run_id="t1", metrics=m)
+    total = sum(io.read(spark, s).count() for s in io_sinks(io))
+    assert total == N
+    mdf = m.to_df(spark)
+    assert mdf.filter("stage LIKE 'write:%'").count() == 4
+
+
+def io_sinks(io):
+    import os
+
+    return [d for d in os.listdir(io.root) if d.startswith("sink_")]
+
+
+def test_partition_lineage_counts(spark, tel):
+    lineage = partition_lineage(tel.repartition(6))
+    rows = lineage.collect()
+    assert sum(r.n_rows for r in rows) == N
+    assert len(rows) == 6

@@ -1,0 +1,83 @@
+"""Fanout/router semantics — mirrors fanoutconnector_test.go
+(TestTracesProcessorMultiplexing: every consumer receives every matching
+batch; counts equal) plus routing priority and exhaustiveness."""
+
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_spark.operators.router import (
+    Route,
+    exhaustiveness_check,
+    fanout,
+    route_tag,
+    routes_from_df,
+    union_sources,
+)
+
+ROUTES = [
+    Route("hot", "src = 'a'", 0),
+    Route("warm", "src IN ('b','c')", 1),
+    Route("rest", "TRUE", 9),
+]
+
+
+def _df(spark):
+    rows = [(i, src) for i, src in enumerate(["a", "b", "c", "d", "a", "e"])]
+    return spark.createDataFrame(rows, "id int, src string")
+
+
+def test_first_match_wins_priority(spark):
+    # overlapping predicates: priority 0 must win
+    routes = [Route("low", "src = 'a'", 5), Route("high", "src = 'a'", 0), Route("rest", "TRUE", 9)]
+    tagged = route_tag(_df(spark), routes)
+    sinks = {r.sink for r in tagged.filter(F.col("src") == "a").collect()}
+    assert sinks == {"high"}
+
+
+def test_fanout_multiplexing(spark):
+    df = _df(spark)
+    out = fanout(df, ROUTES)
+    counts = {s: b.count() for s, b in out.items()}
+    assert counts == {"hot": 2, "warm": 2, "rest": 2}
+    # disjoint: each row lands in exactly one sink
+    total = sum(counts.values())
+    assert total == df.count()
+
+
+def test_exhaustiveness_check_empty(spark):
+    df = _df(spark)
+    out = fanout(df, ROUTES)
+    assert exhaustiveness_check(df, out).count() == 0
+
+
+def test_exhaustiveness_check_catches_loss(spark):
+    df = _df(spark)
+    out = fanout(df, ROUTES)
+    out.pop("rest")  # simulate a dropped sink
+    assert exhaustiveness_check(df, out).count() == 2
+
+
+def test_union_sources_no_dedup(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    assert union_sources([a, b]).count() == 3  # UNION ALL semantics
+
+
+def test_union_allows_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, extra string")
+    b = spark.createDataFrame([(2,)], "id int")
+    out = union_sources([a, b])
+    assert out.count() == 2 and set(out.columns) == {"id", "extra"}
+
+
+def test_routes_from_config_df(spark):
+    cfg = spark.createDataFrame(
+        [("hot", "src = 'a'", 0), ("rest", "TRUE", 9)], "sink string, predicate string, priority int"
+    )
+    routes = routes_from_df(cfg)
+    tagged = route_tag(_df(spark), routes)
+    assert tagged.filter("sink = 'hot'").count() == 2
+
+
+def test_no_route_yields_null_tag(spark):
+    tagged = route_tag(_df(spark), [Route("hot", "src = 'a'", 0)])
+    assert tagged.filter(F.col("sink").isNull()).count() == 4

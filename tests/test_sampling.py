@@ -1,0 +1,98 @@
+"""Sampler parity — mirrors probabilisticsampler_test.go (keep-rate within
+tolerance, per-id determinism) plus bit-exact FNV-1a vectors."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_spark.functions.hashing import (
+    NUM_SAMPLER_BUCKETS,
+    fnv1a32,
+)
+from opentelemetry_collector_spark.operators.sampling import (
+    TailPolicy,
+    dropped_traces,
+    probabilistic_sample,
+    sampling_threshold,
+    tail_sample,
+)
+
+
+def _fnv1a_ref(data: bytes) -> int:
+    """Independent scalar FNV-1a 32 (the reference hash.go algorithm)."""
+    h = 2166136261
+    for b in data:
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def test_fnv1a_vectors_bit_exact():
+    cases = [b"", b"a", b"hello", b"trace-id-0123456789abcdef", bytes(range(256))]
+    for seed in (0, 1, 22):
+        seed_b = seed.to_bytes(4, "big")
+        got = fnv1a32(cases, seed)
+        want = np.array([_fnv1a_ref(seed_b + c) for c in cases], dtype=np.uint32)
+        assert (got == want).all(), (seed, got, want)
+
+
+def test_threshold_scaling():
+    # collector: scaledSamplingRate = pct * 0x4000 / 100
+    assert sampling_threshold(100.0) == NUM_SAMPLER_BUCKETS
+    assert sampling_threshold(50.0) == NUM_SAMPLER_BUCKETS // 2
+    assert sampling_threshold(0.0) == 0
+
+
+def test_keep_rate_and_determinism(spark):
+    n = 20_000
+    df = spark.range(n).select(F.concat(F.lit("trace"), F.col("id").cast("string")).alias("tid"))
+    for method in ("fnv1a", "xxhash64", "portable"):
+        kept = probabilistic_sample(df, 25.0, "tid", method=method)
+        k1 = kept.count()
+        assert abs(k1 / n - 0.25) < 0.02, (method, k1)
+        # determinism: same input → identical kept set
+        ids1 = {r.tid for r in kept.collect()}
+        ids2 = {r.tid for r in probabilistic_sample(df, 25.0, "tid", method=method).collect()}
+        assert ids1 == ids2
+
+
+def test_sampled_subset_monotone(spark):
+    """Reference property: raising the rate only adds traces (same hash)."""
+    df = spark.range(5000).select(F.col("id").cast("string").alias("tid"))
+    k10 = {r.tid for r in probabilistic_sample(df, 10.0, "tid").collect()}
+    k50 = {r.tid for r in probabilistic_sample(df, 50.0, "tid").collect()}
+    assert k10 <= k50
+
+
+def test_tail_sample_policies(spark):
+    rows = [
+        ("t1", "ok", 1.0), ("t1", "error", 2.0),     # kept: string policy
+        ("t2", "ok", 99.0), ("t2", "ok", 1.0),       # kept: numeric policy
+        ("t3", "ok", 5.0),                            # dropped
+    ]
+    df = spark.createDataFrame(rows, "trace_id string, status string, value double")
+    out = tail_sample(
+        df,
+        "trace_id",
+        [
+            TailPolicy("string_attribute", col="status", values=["error"]),
+            TailPolicy("numeric_attribute", col="value", lo=90.0, hi=1000.0),
+        ],
+    )
+    kept = {r.trace_id for r in out.collect()}
+    assert kept == {"t1", "t2"}
+    # whole traces kept (both t1 rows), and the audit anti-join sees t3
+    assert out.count() == 4
+    assert {r.trace_id for r in dropped_traces(df, out, "trace_id").collect()} == {"t3"}
+
+
+def test_tail_sample_rate_limit(spark):
+    rows = [(f"t{i}", f"2024-01-01 00:00:00.{i:03d}") for i in range(10)]
+    df = spark.createDataFrame(rows, "trace_id string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = tail_sample(
+        df, "trace_id",
+        [TailPolicy("always"), TailPolicy("rate_limiting", limit=3)],
+        ts_col="ts",
+    )
+    kept = sorted(r.trace_id for r in out.collect())
+    assert kept == ["t0", "t1", "t2"]  # first 3 in arrival order within the second
