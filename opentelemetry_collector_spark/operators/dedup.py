@@ -1,0 +1,186 @@
+"""Deduplication for training-data pipelines (engine extension).
+
+Five strategies, cheapest first — the standard 100 TB dedup ladder:
+
+- exact        md5-keyed groupBy; one shuffle of (hash, id), never the text.
+- fingerprint  sorted-word-bag md5 (order-shuffled copies).
+- minhash+LSH  shingle → k minhashes → bands → bucket join; candidate pairs
+               only, never all-pairs.  O(n·shingles) + band-key shuffle.
+- simhash      b-bit majority signature; hamming-ball lookup.
+- ngram-jaccard exact verify of candidate pairs (inter/union over distinct
+               shingle sets) — run AFTER an LSH/bucket prune at scale.
+- embedding    cosine near-dup over vector columns (see similarity.py).
+
+Hash modes: ``native`` uses xxhash64 (JVM intrinsic — the scale path);
+``portable`` uses the polynomial word-code hash (textstats.word_codes) that
+the DuckDB oracle recomputes bit-identically.  Same plan shape either way.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .textstats import MOD, word_codes, words
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: (fingerprint, canonical_id=min id, group_size).
+    Only (hash, id) shuffles — the text stays where it was scanned."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def dedup_keep_canonical(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Filter to one row per exact-duplicate group (min-id wins)."""
+    groups = exact_dedup(df, id_col, text_col).select(F.col("canonical_id").alias(id_col))
+    return df.join(groups, on=id_col, how="left_semi")
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3, mode: str = "native") -> DataFrame:
+    """(id, h): hash per word n-gram shingle.  Duplicates kept (min-hash is
+    multiset-safe); use .distinct() for Jaccard set semantics."""
+    if mode in ("native", "raw"):
+        w = words(F.col(text_col))
+        shingle = lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])  # noqa: E731
+        sh = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1))),
+            (lambda i: F.xxhash64(shingle(i))) if mode == "native" else shingle,
+        )
+    elif mode == "portable":
+        if n != 3:
+            raise ValueError("portable mode implements n=3")
+        codes = word_codes(F.col(text_col))
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(codes) - 2, F.lit(0))),
+            lambda i: F.pmod(
+                F.pmod(F.element_at(codes, i.cast("int")) * 31 + F.element_at(codes, (i + 1).cast("int")), F.lit(MOD)) * 31
+                + F.element_at(codes, (i + 2).cast("int")),
+                F.lit(MOD),
+            ),
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("h"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, mode: str = "native"
+) -> DataFrame:
+    """(id, sig array<long>[k]): minhash signature via k affine perms of the
+    shingle hash — one explode + one groupBy(id) with k min() aggregates
+    (partial aggregation makes this a near-map-side-only pass)."""
+    sh = shingle_hashes(df, id_col, text_col, mode=mode)
+    mins = [
+        F.min(F.pmod(F.lit(2 * j + 1) * F.pmod(F.col("h"), F.lit(MINHASH_P)) + F.lit(j * 97), F.lit(MINHASH_P))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    sig = df.sparkSession  # noqa: F841  (kept for readability)
+    out = sh.groupBy("id").agg(*mins)
+    return out.select("id", F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig"))
+
+
+def lsh_bands(sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, bucket): hash each signature band — ids sharing (band,
+    bucket) are candidate near-dups.  Bucket key is the banded xxhash64 so
+    the join key is small and uniform."""
+    out = []
+    for b in range(bands):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        out.append(
+            sig_df.select(
+                "id", F.lit(b).alias("band"), F.xxhash64(sl).alias("bucket")
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """(id_a, id_b) candidate pairs: equi-join on (band, bucket), a < b,
+    distinct.  This is the scale path — pair count ≈ collisions, not n²."""
+    bk = lsh_bands(sig_df, bands, rows_per_band)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    mode: str = "native",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard): exact n-gram Jaccard over distinct shingle sets.
+
+    Without ``candidates`` this self-joins on shingle (all co-shingled pairs
+    — fine at verification scale, quadratic in the worst case); at 100 TB
+    pass ``lsh_candidate_pairs`` output to verify only LSH survivors.
+    """
+    sh = shingle_hashes(df, id_col, text_col, n=n, mode=mode).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash): b-bit majority signature over portable word codes.
+    Near-dups differ in ≤3 bits; pair lookup = bit_count(xor) ≤ r."""
+    codes = word_codes(F.col(text_col))
+    nwords = F.size(codes)
+
+    def bit_adder(b: int):
+        # NB: PySpark higher-order lambdas must take exactly the declared
+        # Column params (no default args) — close over b via factory.
+        return lambda acc, c: acc + F.shiftright(c, b).bitwiseAND(F.lit(1))
+
+    bit_cols = []
+    for b in range(bits):
+        ones = F.aggregate(codes, F.lit(0).cast("long"), bit_adder(b))
+        bit_cols.append(F.when(ones * 2 > nwords.cast("long"), F.lit(1 << b)).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return df.select(F.col(id_col).alias("id"), total.cast("long").alias("simhash"))
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Verify-stage pair join on simhash signatures (bit_count(a^b) ≤ r).
+    At scale, pre-bucket by bit-masked prefixes instead of cross join."""
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )

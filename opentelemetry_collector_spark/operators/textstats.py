@@ -1,0 +1,120 @@
+"""Text analysis for training-data pipelines (engine extension).
+
+Not present in the reference (the collector moves opaque bodies); these are
+the operations a 100 TB tokenized-corpus pipeline needs on the string side:
+language ID, quality scoring, token counting, document fingerprinting.
+Everything is built-in Spark expressions (codegen, no UDFs); the char-level
+rolling hash is expressed with ``aggregate`` over ``sequence`` so it is also
+reproducible in the DuckDB oracle — at scale you'd swap it for ``xxhash64``
+(same API shape, noted per function).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# BPE-ish token regex: word pieces or single non-space punctuation.
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+}
+
+MOD = 1_000_000_007
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the fast path; == n_tok for pre-split corpora)."""
+    return F.size(words(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish upper bound: word pieces + punctuation as single tokens."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Count of stopword occurrences (word-boundary regex, case-insensitive)."""
+    pat = r"(?i)\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards stopword presence and sane word
+    length, penalizes punctuation soup.  Deterministic arithmetic only —
+    the same formula is the oracle."""
+    n = token_count(text).cast("double")
+    avg_wlen = (F.length(F.regexp_replace(text, " ", "")).cast("double") / n)
+    stop_ratio = stopword_hits(text).cast("double") / n
+    punct_ratio = punct_count(text).cast("double") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    score = (
+        F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + F.when((avg_wlen >= 3.0) & (avg_wlen <= 10.0), 0.4).otherwise(0.0)
+        + F.greatest(F.lit(0.0), F.lit(0.2) - punct_ratio * 2.0)
+    )
+    return F.round(score, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts — the n-gram language-ID heuristic."""
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column, min_hits: int = 1) -> Column:
+    """argmax over language scores; 'und' when nothing clears min_hits.
+    Deterministic tiebreak: language list order (en, es, fr, de)."""
+    scores = lang_scores(text)
+    best = F.lit("und")
+    best_n = F.lit(min_hits - 1)
+    # Process in declaration order with strictly-greater replacement ⇒ the
+    # earliest language (en) wins ties — deterministic argmax.
+    for lang in STOPWORDS:
+        n = scores[lang]
+        best = F.when(n >= F.greatest(best_n + 1, F.lit(min_hits)), F.lit(lang)).otherwise(best)
+        best_n = F.greatest(n, best_n)
+    return best
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted word bag.
+    Catches shuffled near-copies that exact-hash dedup misses."""
+    return F.md5(F.array_join(F.array_sort(words(text)), " "))
+
+
+def rolling_hash(text: Column) -> Column:
+    """Char-level polynomial rolling hash mod 1e9+7 (oracle-portable).
+
+    At 100 TB scale use ``xxhash64(text)`` instead (single JVM intrinsic);
+    this form exists so the correctness gate can recompute it in DuckDB.
+    """
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(text)),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.pmod(acc * 31 + F.ascii(F.substring(text, i, F.lit(1))), F.lit(MOD)),
+    )
+
+
+def word_codes(text: Column) -> Column:
+    """array<long>: polynomial hash per word mod 1e9+7 — the portable word
+    hash shared by minhash/simhash (operators.dedup)."""
+    return F.transform(
+        words(text),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(1), F.length(w)),
+            F.lit(0).cast("long"),
+            lambda acc, i: F.pmod(acc * 31 + F.ascii(F.substring(w, i, F.lit(1))), F.lit(MOD)),
+        ),
+    )

@@ -304,7 +304,7 @@ def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         hex_id(F.col("user_id")).alias("span_id"),
         epoch_micros(F.col("ts")).alias("ts_us"),
-        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("ts_hour"),
         F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("unknown_service")).alias("service"),
         F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tag"),
     )
@@ -703,3 +703,389 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('","lang":"'), F.col("lang"), F.lit('"}'),
     )
     return d.select("doc_id", js.alias("json"))
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline extensions: text stats, dedup, similarity, multimodal
+# --------------------------------------------------------------------------
+
+_WORD_CODES_SQL = """
+  list_transform(string_split(text, ' '), w ->
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(w)+1), i -> CAST(ascii(substr(w,i,1)) AS BIGINT))),
+      (acc, x) -> (acc*31 + x) % 1000000007))
+"""
+
+
+@_q(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (textstats)."""
+    from .operators.textstats import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+             CAST(length(replace(text,' ','')) AS DOUBLE) AS chars_no_sp,
+             CAST(len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|is)\b')) AS DOUBLE) AS stop_hits,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS punct,
+             CAST(greatest(length(text), 1) AS DOUBLE) AS total_len
+      FROM documents)
+    SELECT doc_id,
+           ROUND(least(stop_hits / n * 5.0, 1.0) * 0.4
+                 + CASE WHEN chars_no_sp / n BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END
+                 + greatest(0.0, 0.2 - punct / total_len * 2.0), 4) AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + word length + punctuation density."""
+    from .operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@_q(
+    "text_lang_id",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|is)\b')) AS en,
+        len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|los)\b')) AS es,
+        len(regexp_extract_all(text, '(?i)\b(le|la|de|et|les|des)\b')) AS fr,
+        len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|ein)\b')) AS de
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(en, es, fr, de) < 1 THEN 'und'
+                WHEN en >= greatest(es, fr, de) THEN 'en'
+                WHEN es >= greatest(fr, de) THEN 'es'
+                WHEN fr >= de THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax, deterministic ties)."""
+    from .operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_fp,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text,i,1)) AS BIGINT))),
+             (acc, x) -> (acc*31 + x) % 1000000007) AS roll_hash
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: sorted-word-bag md5 + polynomial rolling hash."""
+    from .operators.textstats import fingerprint_md5, rolling_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("bag_fp"),
+        rolling_hash(F.col("text")).alias("roll_hash"),
+    )
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, canonical = min id."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_WORD_CODES_SQL} AS codes
+      FROM documents WHERE doc_id < 200),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(codes)-1, 1)), i ->
+        (((codes[i]*31 + codes[i+1]) % 1000000007) * 31 + codes[i+2]) % 1000000007)) AS h
+      FROM words)
+    SELECT doc_id, k, min(((2*k+1) * (h % 2147483647) + k*97) % 2147483647) AS minhash
+    FROM sh, range(16) t(k)
+    GROUP BY doc_id, k
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16, portable hash) — the LSH dedup input.
+    Banding/bucket-join path is pytest-verified (engine-native xxhash64)."""
+    from .operators.dedup import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = minhash_signatures(d, "doc_id", "text", k=16, mode="portable")
+    return sig.select(
+        F.col("id").alias("doc_id"), F.posexplode("sig").alias("k", "minhash")
+    )
+
+
+@_q(
+    "dedup_simhash",
+    None,  # filled below (SQL generated per bit)
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit signatures over portable word codes."""
+    from .operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=16).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN 2 * list_sum(list_transform(codes, c -> (c >> {b}) & 1)) > len(codes) "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+ORACLES["dedup_simhash"] = f"""
+    WITH words AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents)
+    SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM words
+"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2])) AS h
+      FROM documents WHERE doc_id < 200),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (raw shingles, exact set semantics)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2, mode="raw")
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+           , 4) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+           , 4) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact verify form)."""
+    from .operators.similarity import embedding_neardup_pairs
+
+    v = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(v, threshold=0.35, max_id=300)
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(range(1, len(qvec)+1),
+                 i -> CAST(qvec[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qvec)+1),
+                    i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(v.embedding)+1),
+                    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))
+             , 4) AS cos
+      FROM embeddings v, q WHERE v.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    from .operators.similarity import cosine_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 3)
+    return cosine_topk(v, q, k=5)
+
+
+def _lsh_bucket_sql(bits: int = 8, dim: int = 64) -> str:
+    from .operators.similarity import hyperplane_sign
+
+    terms = []
+    for j in range(bits):
+        signs = ", ".join(f"{float(hyperplane_sign(i, j))}" for i in range(dim))
+        proj = (
+            f"list_sum(list_transform(range(1, {dim}+1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@_q("ann_lsh_bucketed", None)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketing (the ANN scale path: rank within bucket)."""
+    from .operators.similarity import lsh_bucketed_vectors
+
+    v = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_vectors(v, dim=64, bits=8).select("vec_id", "bucket")
+
+
+ORACLES["ann_lsh_bucketed"] = (
+    f"SELECT vec_id, CAST({_lsh_bucket_sql(8, 64)} AS INTEGER) AS bucket FROM embeddings"
+)
+
+
+@_q(
+    "mm_media_stats",
+    """
+    SELECT 'image' AS kind, count(*) AS n_media,
+           sum(octet_length(encode(text))) AS total_bytes,
+           ROUND(avg(octet_length(encode(text))), 4) AS avg_bytes
+    FROM documents
+    """,
+)
+def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata-only pass: per-kind blob size stats (no decode —
+    at parquet scale the blob column prunes away for pure-metadata queries)."""
+    from .operators.multimodal import media_metadata_stats, text_as_media
+
+    media = text_as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return media_metadata_stats(media)
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, unnest(range(0, n_chars % 50 + 1, 10)) AS frame_idx
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: frame-index explode, every 10th frame."""
+    from .operators.multimodal import frame_sample, text_as_media
+
+    d = _t(spark, sf_dir, "documents")
+    media = text_as_media(d, "doc_id", "text", kind="video").withColumn(
+        "n_frames", (F.col("width") % 50 + 1).cast("int")
+    )
+    return frame_sample(media, every_n=10).select("media_id", "frame_idx")
+
+
+@_q("mm_decode_features", None)  # mapInPandas kernel — rows-only check
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/featurize via mapInPandas (stubbed codec,
+    deterministic byte-derived features — real Arrow batch plumbing)."""
+    from .operators.multimodal import decode_and_featurize, text_as_media
+
+    media = text_as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    feats = decode_and_featurize(media, decode_backend="fake")
+    return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 2).alias("f0"))
+
+
+@_q("resume_ledger", None)  # stateful write path — rows-only check
+def resume_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 resumable commit ledger: write documents in 4 snapshot groups into
+    a scratch table, then read back per-group committed counts."""
+    import tempfile
+
+    from .plans.ledger import run_with_resume
+    from .sources.tableio import ParquetSnapshotIO
+
+    io = ParquetSnapshotIO(root=tempfile.mkdtemp(prefix="ledger_q_"))
+    d = _t(spark, sf_dir, "documents")
+    run_with_resume(spark, d, io, "docs", id_col="doc_id", n_groups=4)
+    back = io.read(spark, "docs")
+    return back.groupBy("group").agg(F.count(F.lit(1)).alias("n_rows")).orderBy("group")
+
+
+@_q("metrics_lineage", None)  # spark_partition_id — engine-introspective
+def metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage rows (north_rule metrics table input)."""
+    from .plans.metrics import partition_lineage
+
+    d = _t(spark, sf_dir, "documents").repartition(8, "doc_id")
+    return partition_lineage(d)
+
+
+@_q(
+    "stream_tumbling_counts",
+    """
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+           count(*) AS n, ROUND(sum(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 streaming semantics in batch form: tumbling event-time window
+    counts — identical code shape runs under readStream + withWatermark
+    (streaming module); batch execution makes it oracle-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "value_sum")
+    )

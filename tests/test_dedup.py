@@ -1,0 +1,104 @@
+"""Dedup ladder: exact, minhash+LSH, simhash, jaccard, embedding cosine."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.operators.dedup import (
+    dedup_keep_canonical,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+    (4, "completely different words entirely unrelated content here"),
+    (5, "the quick brown fox leaps over the lazy dog"),          # near dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string").cache()
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = exact_dedup(docs, "doc_id", "text")
+    dup = [r for r in groups.collect() if r.group_size > 1]
+    assert len(dup) == 1 and dup[0].canonical_id == 1 and dup[0].group_size == 2
+
+
+def test_keep_canonical(spark, docs):
+    kept = dedup_keep_canonical(docs, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {r.id: r.sig for r in minhash_signatures(docs, "doc_id", "text", k=16).collect()}
+    assert sigs[1] == sigs[2]
+    # near-dups share most minhashes; unrelated docs share almost none
+    sim_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 16
+    sim_14 = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 16
+    assert sim_13 > sim_14
+
+
+def test_lsh_candidates_catch_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).collect()}
+    assert (1, 2) in pairs           # exact dup always collides
+    assert not any(4 in p for p in pairs)  # unrelated doc never collides
+
+
+def test_portable_and_native_modes_agree_on_pairs(spark, docs):
+    for mode in ("native", "portable", "raw"):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, mode=mode).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) in pairs, mode
+        assert not any(4 in p for p in pairs), mode
+
+
+def test_jaccard_values(spark, docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0, mode="raw").collect()}
+    assert out[(1, 2)] == 1.0
+    # doc3 differs in last word: 7 shingles each, 6 shared → 6/8
+    assert out[(1, 3)] == 0.75
+
+
+def test_jaccard_with_candidate_prune(spark, docs):
+    cand = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0, candidates=cand).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_simhash_hamming(spark, docs):
+    sig = simhash(docs, "doc_id", "text", bits=16)
+    vals = {r.id: r.simhash for r in sig.collect()}
+    assert vals[1] == vals[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(sig, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0
+    # near-dup within radius, unrelated doc outside it
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_embedding_neardup(spark):
+    from opentelemetry_collector_spark.operators.similarity import embedding_neardup_pairs
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),   # near dup of 1
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b): r.cos for r in embedding_neardup_pairs(vecs, threshold=0.95).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.99

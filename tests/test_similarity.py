@@ -1,0 +1,77 @@
+"""ANN: brute-force exactness, LSH bucket recall, plan shape."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    lsh_bucketed_vectors,
+    lsh_cosine_topk,
+)
+
+
+def _vec(i, dim=8):
+    # deterministic unit-ish vectors on a ring
+    return [math.cos(i * 0.37 + d) for d in range(dim)]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [(i, _vec(i)) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+
+
+def test_cosine_column_math(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<float>, b array<float>")
+    got = [r.c for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert got == [0.0, 1.0]
+
+
+def test_topk_matches_python_bruteforce(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    got = [
+        (r.neighbor_id, r.cos)
+        for r in cosine_topk(vectors, q, k=3).orderBy(F.desc("cos"), "neighbor_id").collect()
+    ]
+    # independent python computation
+    import numpy as np
+
+    v0 = np.array(_vec(0), dtype=np.float32).astype(float)
+    sims = []
+    for i in range(1, 60):
+        vi = np.array(_vec(i), dtype=np.float32).astype(float)
+        sims.append((i, round(float(v0 @ vi / (np.linalg.norm(v0) * np.linalg.norm(vi))), 4)))
+    sims.sort(key=lambda t: (-t[1], t[0]))
+    assert got == sims[:3]
+
+
+def test_lsh_buckets_deterministic(spark, vectors):
+    b1 = {r.vec_id: r.bucket for r in lsh_bucketed_vectors(vectors, dim=8, bits=6).collect()}
+    b2 = {r.vec_id: r.bucket for r in lsh_bucketed_vectors(vectors, dim=8, bits=6).collect()}
+    assert b1 == b2
+    assert all(0 <= b < 64 for b in b1.values())
+
+
+def test_lsh_topk_recall_vs_exact(spark, vectors):
+    """LSH@few-bits must recover most of the exact top-k (same-bucket bias)."""
+    q = vectors.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(vectors, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(vectors, q, dim=8, k=3, bits=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_topk_broadcast_plan(spark, vectors):
+    """The query side must broadcast — no shuffle of the big vector table."""
+    q = vectors.filter(F.col("vec_id") < 2)
+    plan = cosine_topk(vectors, q, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

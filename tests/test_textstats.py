@@ -1,0 +1,66 @@
+"""Text-analysis operators: golden values on hand-computable strings."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_spark.operators.textstats import (
+    MOD,
+    bpe_token_count,
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    rolling_hash,
+    token_count,
+    word_codes,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_token_counts(spark):
+    assert _one(spark, "a b c", token_count(F.col("text"))) == 3
+    # BPE-ish: words + punctuation pieces
+    assert _one(spark, "hi, world!", bpe_token_count(F.col("text"))) == 4
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = _one(spark, "x y z", fingerprint_md5(F.col("text")))
+    b = _one(spark, "z y x", fingerprint_md5(F.col("text")))
+    assert a == b == hashlib.md5(b"x y z").hexdigest()
+
+
+def test_rolling_hash_matches_python(spark):
+    text = "scan parse"
+    expected = 0
+    for ch in text:
+        expected = (expected * 31 + ord(ch)) % MOD
+    assert _one(spark, text, rolling_hash(F.col("text"))) == expected
+
+
+def test_word_codes_match_python(spark):
+    text = "scan parse"
+    def code(w):
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+    got = _one(spark, text, word_codes(F.col("text")))
+    assert got == [code("scan"), code("parse")]
+
+
+def test_lang_id_heuristic(spark):
+    assert _one(spark, "the cat of the house is big", lang_id(F.col("text"))) == "en"
+    assert _one(spark, "el gato de la casa y los perros", lang_id(F.col("text"))) == "es"
+    assert _one(spark, "xyz qqq www", lang_id(F.col("text"))) == "und"
+    # tie (one hit each) → earliest declared language wins deterministically
+    assert _one(spark, "the el", lang_id(F.col("text"))) == "en"
+
+
+def test_quality_score_ranges(spark):
+    good = _one(spark, "the quick brown fox is one of the best and fast", quality_score(F.col("text")))
+    junk = _one(spark, "!!! ??? ***", quality_score(F.col("text")))
+    assert 0.0 <= junk < good <= 1.0

@@ -75,6 +75,20 @@ def main():
             print(f"FAIL {k}: columns differ spark={sc} duck={dc}")
             n_fail += 1
             continue
+        # dtype audit (warn-only): driver may compare schemas strictly
+        stypes = dict(sdf.dtypes)
+        dtypes_map = {d[0]: str(d[1]) for d in res.description}
+        CANON = {
+            "INTEGER": "int", "BIGINT": "bigint", "DOUBLE": "double", "FLOAT": "float",
+            "VARCHAR": "string", "STRING": "string", "BOOLEAN": "boolean",
+            "TIMESTAMP": "timestamp_ntz", "DATETIME": "timestamp_ntz",
+            "HUGEINT": "bigint", "BLOB": "binary", "DECIMAL": "double",
+        }
+        for c in sc:
+            want = CANON.get(dtypes_map.get(c, ""), dtypes_map.get(c, "?"))
+            got = stypes.get(c, "?")
+            if want != got and not (want.startswith("NUMBER") or got.startswith("array")):
+                print(f"  TYPE-WARN {k}.{c}: spark={got} duck={dtypes_map.get(c)}")
         if len(sv) != len(dv):
             print(f"FAIL {k}: rowcount spark={len(sv)} duck={len(dv)}")
             n_fail += 1
