@@ -1,0 +1,77 @@
+"""spark-submit entrypoint for the flagship pipeline (north_rule packaging).
+
+    spark-submit --master local[8] --py-files dist/pipeline.zip \
+        jobs/pipeline_job.py --rows 100000 --output /tmp/otelspark_out
+
+On a cluster the master/executors come from spark-submit; this script only
+declares the job.  With --input it reads an existing sequences(+raw) table
+(Iceberg when a catalog is configured, parquet otherwise); with --rows N it
+generates the seeded synthetic input instead.  With --output it commits each
+routed sink as a resumable snapshot group via TableIO (re-running the same
+--run-id skips already-committed groups — the checkpoint/resume story);
+without it, the routed frame is materialized through the noop sink
+(pure-compute benchmark mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="sequences table path (parquet dir)")
+    ap.add_argument("--rows", type=int, default=1_000_000, help="synthesize N rows if no --input")
+    ap.add_argument("--output", default=None, help="sink root; enables snapshot commits + resume")
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    # Under spark-submit the session already carries the submitted master;
+    # builder.getOrCreate() attaches to it (never hardcode a master here).
+    spark = (
+        SparkSession.builder.appName("otel-collector-spark-job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from opentelemetry_collector_spark.plans.metrics import StageMetrics
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    if args.input:
+        records = spark.read.parquet(args.input)
+    else:
+        records = gen_telemetry(spark, args.rows, seed=args.seed, partitions=64)
+
+    io = ParquetSnapshotIO(args.output) if args.output else None
+    metrics = StageMetrics(run_id=args.run_id)
+    t0 = time.monotonic()
+    out = run_pipeline(spark, records, gen_lookup(spark), io=io, run_id=args.run_id, metrics=metrics)
+    if io is None:
+        out["tagged"].write.format("noop").mode("overwrite").save()
+    src = {r["source"]: r["n_rows"] for r in out["source_counts"].collect()}
+    snk = {r["sink"]: r["n_rows"] for r in out["sink_counts"].collect()}
+    wall = time.monotonic() - t0
+    total = sum(src.values())
+    print(json.dumps({
+        "rows": total,
+        "wall_s": round(wall, 3),
+        "seq_per_sec": round(total / wall, 1),
+        "per_source": src,
+        "per_sink": snk,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Physical-plan audits: the 100 TB properties, asserted.
+
+Correctness tests prove the small-SF answers; these prove the PLAN is the
+one that survives a 1000-executor 100 TB run — filters reach the parquet
+scan, dims broadcast, the parse→enrich→route chain stays shuffle-free, and
+hot expressions run inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+from opentelemetry_collector_spark.queries import QUERIES
+from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = explain(QUERIES["scan_sequences"](spark, SF))
+    assert "PushedFilters" in plan and "n_chars" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: the 2 unused cols (text, lang) must not be read
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_enrich_is_broadcast_join(spark):
+    plan = explain(QUERIES["enrich_broadcast"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_pre_route_is_shuffle_free(spark):
+    """parse → enrich → route must be narrow: zero Exchange operators.
+
+    At 10^12 rows a shuffle here would move the whole table; the only
+    exchanges in the flagship job are the aggregates (bytes ≈ #groups) and
+    the explicit salted pre-write repartition.
+    """
+    out = run_pipeline(spark, gen_telemetry(spark, 1000, partitions=4), gen_lookup(spark))
+    plan = explain(out["tagged"], "simple")
+    # no shuffle exchange anywhere pre-route; the lookup dim joins broadcast
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_aggregates_are_partial_final(spark):
+    out = run_pipeline(spark, gen_telemetry(spark, 1000, partitions=4), gen_lookup(spark))
+    plan = explain(out["source_counts"], "simple")
+    # partial_count before the exchange => map-side combine (bytes moved ≈ #groups)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_tail_sample_is_semi_join(spark):
+    plan = explain(QUERIES["tail_sample_semi_join"](spark, SF), "simple")
+    assert "LeftSemi" in plan
+
+
+def test_hot_path_in_whole_stage_codegen(spark):
+    out = run_pipeline(spark, gen_telemetry(spark, 1000, partitions=4), gen_lookup(spark))
+    # codegen explain mode works pre-execution even under AQE
+    plan = explain(out["tagged"], "codegen")
+    assert "Found" in plan and "WholeStageCodegen" in plan
+    # no python UDF in the flagship hot path (pandas UDFs exist only in the
+    # opt-in FNV parity sampler, not in parse/enrich/route)
+    formatted = explain(out["tagged"])
+    assert "BatchEvalPython" not in formatted and "ArrowEvalPython" not in formatted
+
+
+@pytest.mark.parametrize("key", ["join_star_schema", "agg_rollup_counts", "win_cumulative_sum"])
+def test_headline_queries_codegen_no_python(spark, key):
+    plan = explain(QUERIES[key](spark, SF), "codegen")
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in explain(QUERIES[key](spark, SF))
+
+
+def test_star_join_broadcasts_small_dims(spark):
+    """lineitem⋈orders is the big join; nation/region/customer dims must
+    broadcast rather than shuffle at sf0.001."""
+    plan = explain(QUERIES["join_star_schema"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_repartition_spreads_skew(spark):
+    from opentelemetry_collector_spark.functions.hashing import salted_key
+
+    df = gen_telemetry(spark, 20000, partitions=4)
+    salted = df.repartition(16, *salted_key(F.col("source"), F.col("doc_id"), 16))
+    sizes = (
+        salted.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.min("count").alias("mn"))
+        .collect()[0]
+    )
+    # src0 alone is ~34% of rows; unsalted it would pin one partition at
+    # >6800 rows. Salting must keep the max partition under 2x the mean.
+    assert sizes["mx"] < 2 * (20000 / 16)

@@ -1,0 +1,173 @@
+"""Structured Streaming variants (SURVEY.md §2.12): micro-batch fanout
+pipeline, watermarked windowed counts, stateful accumulator/batcher."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.operators.router import Route
+from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_sequences
+from opentelemetry_collector_spark.streaming import (
+    read_stream_sequences,
+    run_stream_pipeline,
+    streaming_accumulator,
+    streaming_batcher,
+    windowed_sink_counts,
+)
+
+ROUTES = [
+    Route("sink_hot", "source = 'src0'", 0),
+    Route("sink_default", "TRUE", 9),
+]
+
+
+@pytest.fixture()
+def seq_dir(spark, tmp_path):
+    """Two parquet files under one dir — two arriving receiver batches."""
+    d = str(tmp_path / "in")
+    gen_sequences(spark, 500, seed=1, partitions=1).write.mode("append").parquet(d)
+    gen_sequences(spark, 300, seed=2, partitions=1).write.mode("append").parquet(d)
+    return d
+
+
+def test_stream_pipeline_matches_batch(spark, tmp_path, seq_dir):
+    sink_root = str(tmp_path / "sinks")
+    q = run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(seq_dir)
+    n_hot = batch.filter("source = 'src0'").count()
+    n_all = batch.count()
+    hot = spark.read.parquet(f"{sink_root}/sink_hot")
+    dflt = spark.read.parquet(f"{sink_root}/sink_default")
+    assert hot.count() == n_hot
+    assert hot.count() + dflt.count() == n_all
+    # enrich happened inside the stream: env col present, src0 is prod
+    assert hot.select("env").distinct().collect()[0]["env"] == "prod"
+    # routed-row equality: streamed union-of-sinks ≡ batch input (by doc_id)
+    streamed_ids = hot.select("doc_id").union(dflt.select("doc_id"))
+    assert streamed_ids.exceptAll(batch.select("doc_id")).count() == 0
+    assert batch.select("doc_id").exceptAll(streamed_ids).count() == 0
+
+
+def test_stream_pipeline_restart_is_exactly_once(spark, tmp_path, seq_dir):
+    """Re-starting with the same checkpoint must not duplicate sink rows."""
+    sink_root = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, ckpt
+    ).awaitTermination(120)
+    # second run: no new input files -> no new batches -> sinks unchanged
+    run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, ckpt
+    ).awaitTermination(120)
+    total = spark.read.parquet(seq_dir).count()
+    got = sum(
+        spark.read.parquet(f"{sink_root}/{r.sink}").count() for r in ROUTES
+    )
+    assert got == total
+
+
+def test_windowed_sink_counts_event_time(spark, tmp_path):
+    # two files (two micro-batches): the watermark advances AFTER batch 1, so
+    # batch 2 finalizes+emits the early windows — a single batch under
+    # availableNow would emit nothing in append mode.
+    d = str(tmp_path / "in")
+    for seed in (3, 4):
+        (
+            gen_sequences(spark, 200, seed=seed, partitions=1)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(180))
+                ),
+            )
+            .write.mode("append").parquet(d)
+        )
+    stream = read_stream_sequences(
+        spark,
+        d,
+        "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp",
+        max_files_per_trigger=1,
+    )
+    agg = windowed_sink_counts(
+        stream, ROUTES, ts_col="ts", window="1 minute", watermark="1 minute"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT sum(n_rows) AS n FROM win_counts"
+    ).collect()[0]["n"]
+    # append mode emits only watermark-finalized windows; with a 2-minute
+    # watermark over 3 minutes of data the first window(s) finalize
+    assert got is not None and 0 < got <= 400
+    per_sink = {
+        r["sink"] for r in spark.sql("SELECT DISTINCT sink FROM win_counts").collect()
+    }
+    assert per_sink <= {"sink_hot", "sink_default"}
+
+
+def test_streaming_accumulator_cumulative(spark, tmp_path, seq_dir):
+    stream = read_stream_sequences(spark, seq_dir, max_files_per_trigger=1)
+    acc = streaming_accumulator(stream)
+    q = (
+        acc.writeStream.format("memory")
+        .queryName("acc")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per key must equal the batch totals
+    final = spark.sql(
+        """SELECT source, max_by(n_seen, n_seen) AS n_seen,
+                  max_by(tok_cum, n_seen) AS tok_cum
+           FROM acc GROUP BY source"""
+    )
+    expect = (
+        spark.read.parquet(seq_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.sum("n_tok").alias("tok_cum"))
+    )
+    diff = final.exceptAll(expect).count() + expect.exceptAll(final).count()
+    assert diff == 0
+
+
+def test_streaming_batcher_flush_on_size(spark, tmp_path, seq_dir):
+    stream = read_stream_sequences(spark, seq_dir, max_files_per_trigger=1)
+    q = (
+        streaming_batcher(stream, batch_size=50)
+        .writeStream.format("memory")
+        .queryName("batches")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM batches").collect()
+    n_by_src = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(seq_dir).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["n_rows"] == 50
+    emitted = {}
+    for r in rows:
+        emitted[r["source"]] = emitted.get(r["source"], 0) + r["n_rows"]
+    for src, n in emitted.items():
+        # every emitted batch is full; remainder stays in state
+        assert n == (n_by_src[src] // 50) * 50
+    # batch ids are dense per key
+    for src in emitted:
+        ids = sorted(r["batch_id"] for r in rows if r["source"] == src)
+        assert ids == list(range(len(ids)))
