@@ -9,7 +9,7 @@ Prints ONE JSON line:
   on local[$SPARK_GRAFT_CPUS]; each is fully materialized through the noop
   sink (all compute, no driver collect).
 - the flagship parse→enrich→route→aggregate pipeline runs over a synthetic
-  ``sequences`` parquet snapshot (SPARK_GRAFT_BENCH_ROWS, default 2,000,000
+  ``sequences`` parquet snapshot (SPARK_GRAFT_BENCH_ROWS, default 8,000,000
   rows, zipf-skewed source) — its sequences/sec is the BASELINE.json north
   metric; scaling protocol (local[8] vs local[32]) in bench/run_scaling.py.
 """
@@ -57,7 +57,7 @@ def bench_input(spark, n_rows: int, path: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
 
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
@@ -78,7 +78,7 @@ def main() -> None:
     records = spark.read.parquet(input_path)
     lookup = gen_lookup(spark)
     best = None
-    for _ in range(max(trials, 1)):
+    for trial in range(max(trials, 1) + 1):  # first pass = warmup (JIT/codegen)
         t0 = time.monotonic()
         out = run_pipeline(spark, records, lookup)
         # materialize the full DAG: routed rows + both obsreport aggregates
@@ -86,7 +86,8 @@ def main() -> None:
         out["source_counts"].count()
         out["sink_counts"].count()
         wall = time.monotonic() - t0
-        best = wall if best is None else min(best, wall)
+        if trial > 0:
+            best = wall if best is None else min(best, wall)
     thr = n_rows / best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
