@@ -1,0 +1,158 @@
+"""Training-sequence packing & token statistics (engine extensions).
+
+The input contract (BASELINE.json input_hint) is a corpus of pre-tokenized
+training sequences; the two operators a 100 TB training-data pipeline runs
+on such a table constantly:
+
+- **token_freq_topk** — global token frequency (vocabulary audit, UNK-rate
+  checks).  Pure built-ins: explode → two-phase hash aggregate → top-k.
+  Bytes shuffled ≈ #distinct tokens (partial map-side combine), NOT #tokens:
+  the plan that survives 10^12 rows.
+
+- **pack_sequences** — greedy sequential packing of documents into
+  fixed-length training bins (the "sample packing" step before pretraining).
+  Custom stateful-per-group logic Spark lacks → ``applyInPandas`` (the
+  sanctioned custom-operator path; Arrow batch in/out, numpy inside, no
+  per-row Python dispatch).  Groups are ``(source, salt)`` so the zipf-head
+  source spreads over many independent packing tasks; determinism comes from
+  sorting by doc_id inside each group, so results are stable under any
+  partitioning/parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+PACK_SCHEMA = (
+    "source string, salt int, pack_id bigint, doc_ids array<string>, "
+    "tokens array<int>, n_tok int, n_docs int, fill_ratio double"
+)
+
+
+def token_freq_topk(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Top-k whitespace tokens by global frequency (deterministic tie-break).
+
+    explode → partial count per partition → final count → top-k.  The sort
+    runs over #distinct tokens only; at corpus scale cap the explode cost
+    with a pre-filter (`n_chars` bound) or sampling upstream.
+    """
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    counts = toks.filter(F.col("tok") != "").groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(k)
+
+
+def _pack_group(pdf: pd.DataFrame, max_len: int) -> pd.DataFrame:
+    """Greedy sequential packing of one (source, salt) group.
+
+    Docs in doc_id order; a doc that would overflow the open bin closes it.
+    Docs longer than max_len are truncated to max_len (their tail dropped —
+    the standard pretraining choice; count surfaced via fill_ratio).
+    """
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    lens = np.minimum(pdf["n_tok"].to_numpy(), max_len)
+    # bin assignment: sequential greedy via cumulative sum with resets.
+    bin_ids = np.empty(len(pdf), dtype=np.int64)
+    acc = 0
+    b = 0
+    for i, ln in enumerate(lens):  # per-document (not per-token) loop
+        if acc + ln > max_len and acc > 0:
+            b += 1
+            acc = 0
+        bin_ids[i] = b
+        acc += int(ln)
+    out_rows = []
+    src = pdf["source"].iloc[0]
+    salt = int(pdf["salt"].iloc[0])
+    for b in range(bin_ids.max() + 1 if len(pdf) else 0):
+        sel = pdf[bin_ids == b]
+        toks: list[int] = []
+        for t, ln in zip(sel["tokens"], np.minimum(sel["n_tok"].to_numpy(), max_len)):
+            toks.extend(list(t[: int(ln)]))
+        out_rows.append(
+            (
+                src,
+                salt,
+                b,
+                list(sel["doc_id"]),
+                toks,
+                len(toks),
+                len(sel),
+                round(len(toks) / max_len, 4),
+            )
+        )
+    return pd.DataFrame(
+        out_rows,
+        columns=["source", "salt", "pack_id", "doc_ids", "tokens", "n_tok", "n_docs", "fill_ratio"],
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_len: int = 2048,
+    salt_buckets: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pack sequences into ≤max_len training bins, parallel by (source, salt).
+
+    Deterministic for a fixed (input, max_len, salt_buckets): the salt is a
+    pure hash of doc_id and each group sorts internally — re-running at any
+    cluster size yields identical packs.
+    """
+    salted = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).alias("tokens"),
+        F.col(source_col).alias("source"),
+        F.size(tokens_col).cast("int").alias("n_tok"),
+        F.pmod(F.xxhash64(id_col), F.lit(salt_buckets)).cast("int").alias("salt"),
+    )
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _pack_group(pdf, max_len)
+
+    return salted.groupBy("source", "salt").applyInPandas(apply, PACK_SCHEMA)
+
+
+def packing_stats(packed: DataFrame) -> DataFrame:
+    """Fill-efficiency report per source (waste audit for the packing run)."""
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tok").alias("n_tok"),
+        F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
+    )
+
+
+def _seq_chunk_iter(max_len: int):
+    """mapInPandas kernel: re-chunk a token stream into exact max_len windows
+    (the 'concat-then-split' packing variant used for causal LM training —
+    no padding, documents may span chunk boundaries within a partition)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: list[int] = []
+        for pdf in batches:
+            for toks in pdf["tokens"]:
+                carry.extend(list(toks))
+            n_full = len(carry) // max_len
+            if n_full:
+                arr = np.asarray(carry[: n_full * max_len], dtype=np.int32).reshape(
+                    n_full, max_len
+                )
+                yield pd.DataFrame({"tokens": [list(r) for r in arr]})
+                carry = carry[n_full * max_len :]
+        # tail (< max_len) dropped, as in standard LM pretraining
+
+    return fn
+
+
+def chunk_token_stream(df: DataFrame, max_len: int = 2048, tokens_col: str = "tokens") -> DataFrame:
+    """Concat-and-split packing: every output row is exactly max_len tokens."""
+    return df.select(F.col(tokens_col).alias("tokens")).mapInPandas(
+        _seq_chunk_iter(max_len), "tokens array<int>"
+    )

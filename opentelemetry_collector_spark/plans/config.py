@@ -1,0 +1,92 @@
+"""YAML pipeline spec → PipelineSpec (the collector's config path, §3.1).
+
+Reference analog: ``config/config.go (Load)`` decodes the service YAML into
+``configmodels.Config{Receivers, Processors, Exporters, Service.Pipelines}``
+and ``validateConfig`` rejects unknown references / empty pipelines before
+the builders run.  Here the YAML decodes into :class:`PipelineSpec` (routes,
+grok pattern, lookup defaults) and validation raises before any Spark plan
+is built — same fail-fast contract, minus the builder phase (lazy DataFrames
+need no reverse-topological construction).
+
+Example spec::
+
+    pipeline:
+      raw_col: raw
+      salt_buckets: 32
+      grok:
+        pattern: '^%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} k=%{INT:k}$'
+        types: {k: int, ts: timestamp}
+      routes:
+        - {sink: sink_hot,     predicate: "source = 'src0'", priority: 0}
+        - {sink: sink_default, predicate: "TRUE",            priority: 9}
+      lookup_defaults: {env: unknown}
+"""
+
+from __future__ import annotations
+
+import yaml
+
+from ..functions.grok import GrokPattern
+from ..operators.router import Route
+from .pipeline import PipelineSpec
+
+
+class ConfigError(ValueError):
+    """Invalid pipeline spec (mirrors validateConfig failures)."""
+
+
+def spec_from_yaml(text: str) -> PipelineSpec:
+    """Parse + validate a YAML pipeline spec."""
+    doc = yaml.safe_load(text)
+    if not isinstance(doc, dict) or "pipeline" not in doc:
+        raise ConfigError("top-level 'pipeline' key required")
+    p = doc["pipeline"]
+
+    routes_cfg = p.get("routes") or []
+    if not routes_cfg:
+        raise ConfigError("pipeline must declare at least one route (empty pipeline)")
+    routes = []
+    seen = set()
+    for r in routes_cfg:
+        missing = {"sink", "predicate"} - set(r)
+        if missing:
+            raise ConfigError(f"route missing keys: {sorted(missing)}")
+        if r["sink"] in seen:
+            raise ConfigError(f"duplicate sink name {r['sink']!r}")
+        seen.add(r["sink"])
+        routes.append(Route(r["sink"], r["predicate"], int(r.get("priority", 0))))
+    if not any(r.predicate.strip().upper() == "TRUE" for r in routes):
+        raise ConfigError("no catch-all route (predicate TRUE): rows could be dropped silently")
+
+    kwargs: dict = {"routes": routes}
+    if "grok" in p:
+        g = p["grok"]
+        if "pattern" not in g:
+            raise ConfigError("grok requires 'pattern'")
+        kwargs["grok"] = GrokPattern(g["pattern"], types=dict(g.get("types") or {}))
+    for key in ("raw_col", "source_col", "id_col", "size_col", "salt_buckets"):
+        if key in p:
+            kwargs[key] = p[key]
+    if "lookup_defaults" in p:
+        kwargs["lookup_defaults"] = dict(p["lookup_defaults"])
+    return PipelineSpec(**kwargs)
+
+
+def spec_to_yaml(spec: PipelineSpec) -> str:
+    """Serialize back (round-trip support for golden-config tests)."""
+    doc = {
+        "pipeline": {
+            "raw_col": spec.raw_col,
+            "source_col": spec.source_col,
+            "id_col": spec.id_col,
+            "size_col": spec.size_col,
+            "salt_buckets": spec.salt_buckets,
+            "grok": {"pattern": spec.grok.pattern, "types": dict(spec.grok.types)},
+            "routes": [
+                {"sink": r.sink, "predicate": r.predicate, "priority": r.priority}
+                for r in spec.routes
+            ],
+            "lookup_defaults": dict(spec.lookup_defaults),
+        }
+    }
+    return yaml.safe_dump(doc, sort_keys=False)

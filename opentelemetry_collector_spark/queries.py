@@ -1089,3 +1089,60 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
         .select(F.col("w.start").alias("ws"), "event_type", "n", "value_sum")
     )
+
+
+# --------------------------------------------------------------------------
+# training-sequence packing & token statistics (operators/packing.py)
+# --------------------------------------------------------------------------
+
+@_q(
+    "token_freq_topk",
+    """
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50
+    """,
+)
+def token_freq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary audit: top-50 whitespace tokens by corpus frequency.
+    explode → partial+final hash agg (bytes shuffled ≈ #distinct tokens)."""
+    from .operators.packing import token_freq_topk
+
+    return token_freq_topk(_t(spark, sf_dir, "documents"), "text", 50)
+
+
+@_q("pack_sequences", None)  # order-dependent stateful packing — rows-only
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sample-packing of tokenized docs into ≤512-token training bins
+    via applyInPandas over (source, salt) groups; fill stats per source."""
+    from .operators.packing import pack_sequences, packing_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(
+            F.filter(F.split("text", " "), lambda w: w != F.lit("")),
+            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
+        ).alias("tokens"),
+        "source",
+    )
+    packed = pack_sequences(docs, max_len=512, salt_buckets=8)
+    return packing_stats(packed).orderBy("source")
+
+
+@_q("chunk_token_stream", None)  # partition-order dependent — rows-only
+def chunk_token_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split LM packing: every output row exactly 256 tokens
+    (mapInPandas streaming kernel with cross-batch carry)."""
+    from .operators.packing import chunk_token_stream
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.transform(
+            F.filter(F.split("text", " "), lambda w: w != F.lit("")),
+            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
+        ).alias("tokens")
+    )
+    out = chunk_token_stream(docs, max_len=256)
+    return out.select(F.size("tokens").alias("n_tok")).groupBy("n_tok").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )

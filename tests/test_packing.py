@@ -1,0 +1,148 @@
+"""Sequence packing + token stats + YAML config round-trip."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.operators.packing import (
+    chunk_token_stream,
+    pack_sequences,
+    packing_stats,
+    token_freq_topk,
+)
+from opentelemetry_collector_spark.plans.config import ConfigError, spec_from_yaml, spec_to_yaml
+from opentelemetry_collector_spark.plans.pipeline import PipelineSpec
+from opentelemetry_collector_spark.sources.synthetic import gen_sequences
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    return gen_sequences(spark, 2000, seed=7, partitions=4).cache()
+
+
+def test_pack_conserves_tokens_and_respects_max_len(spark, seqs):
+    packed = pack_sequences(seqs, max_len=256, salt_buckets=4).cache()
+    # every bin within bound
+    assert packed.filter(F.col("n_tok") > 256).count() == 0
+    # token conservation: lengths ≤ max_len are never truncated here (gen
+    # lengths are 8..128), so total packed tokens == total input tokens
+    tot_in = seqs.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    tot_out = packed.agg(F.sum("n_tok")).collect()[0][0]
+    assert tot_in == tot_out
+    # every doc appears exactly once
+    n_docs = packed.agg(F.sum("n_docs")).collect()[0][0]
+    assert n_docs == 2000
+    packed.unpersist()
+
+
+def test_pack_is_deterministic_across_parallelism(spark, seqs):
+    a = pack_sequences(seqs.repartition(2), max_len=256, salt_buckets=4)
+    b = pack_sequences(seqs.repartition(16), max_len=256, salt_buckets=4)
+    cols = ["source", "salt", "pack_id", "n_tok", "n_docs"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_pack_truncates_overlong_docs(spark):
+    df = spark.createDataFrame(
+        [("d1", list(range(300)), "s1")], "doc_id string, tokens array<int>, source string"
+    )
+    packed = pack_sequences(df, max_len=100, salt_buckets=1)
+    row = packed.collect()[0]
+    assert row["n_tok"] == 100 and row["tokens"] == list(range(100))
+
+
+def test_packing_stats_fill(spark, seqs):
+    packed = pack_sequences(seqs, max_len=256, salt_buckets=4)
+    stats = packing_stats(packed)
+    r = stats.filter("source = 'src0'").collect()[0]
+    assert r["n_packs"] > 0 and 0 < r["avg_fill"] <= 1.0
+
+
+def test_chunk_token_stream_exact_windows(spark, seqs):
+    chunks = chunk_token_stream(seqs, max_len=128).cache()
+    sizes = chunks.select(F.size("tokens").alias("n")).distinct().collect()
+    assert [r["n"] for r in sizes] == [128]
+    # conservation up to the per-partition dropped tail (< max_len each)
+    tot_in = seqs.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    tot_out = chunks.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    nparts = seqs.rdd.getNumPartitions()
+    assert tot_out <= tot_in < tot_out + 128 * nparts
+    chunks.unpersist()
+
+
+def test_token_freq_topk_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a b b c c c",), ("c b a  a",)], "text string"
+    )
+    rows = token_freq_topk(df, "text", 3).collect()
+    assert [(r["tok"], r["n"]) for r in rows] == [("c", 4), ("a", 3), ("b", 3)]
+
+
+YAML_OK = """
+pipeline:
+  raw_col: raw
+  salt_buckets: 16
+  grok:
+    pattern: '^%{LOGLEVEL:level} k=%{INT:k}$'
+    types: {k: int}
+  routes:
+    - {sink: sink_hot, predicate: "source = 'src0'", priority: 0}
+    - {sink: sink_default, predicate: "TRUE", priority: 9}
+  lookup_defaults: {env: unknown}
+"""
+
+
+def test_yaml_spec_round_trip():
+    spec = spec_from_yaml(YAML_OK)
+    assert isinstance(spec, PipelineSpec)
+    assert [r.sink for r in spec.routes] == ["sink_hot", "sink_default"]
+    assert spec.salt_buckets == 16 and spec.grok.types == {"k": "int"}
+    spec2 = spec_from_yaml(spec_to_yaml(spec))
+    assert [r.predicate for r in spec2.routes] == [r.predicate for r in spec.routes]
+    assert spec2.grok.pattern == spec.grok.pattern
+
+
+@pytest.mark.parametrize(
+    "mutation,msg",
+    [
+        ("routes:", "route"),  # drop routes entirely → empty pipeline
+        ('- {sink: sink_hot, predicate: "source = \'src0\'", priority: 0}\n    - {sink: sink_hot, predicate: "TRUE", priority: 9}', "duplicate"),
+    ],
+)
+def test_yaml_spec_validation_errors(mutation, msg):
+    if mutation == "routes:":
+        bad = YAML_OK.replace(
+            """  routes:
+    - {sink: sink_hot, predicate: "source = 'src0'", priority: 0}
+    - {sink: sink_default, predicate: "TRUE", priority: 9}
+""",
+            "",
+        )
+    else:
+        bad = YAML_OK.replace(
+            """    - {sink: sink_hot, predicate: "source = 'src0'", priority: 0}
+    - {sink: sink_default, predicate: "TRUE", priority: 9}""",
+            "    " + mutation,
+        )
+    with pytest.raises(ConfigError, match=msg):
+        spec_from_yaml(bad)
+
+
+def test_yaml_spec_requires_catch_all():
+    bad = YAML_OK.replace('    - {sink: sink_default, predicate: "TRUE", priority: 9}\n', "")
+    with pytest.raises(ConfigError, match="catch-all"):
+        spec_from_yaml(bad)
+
+
+def test_yaml_spec_drives_pipeline(spark):
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+    spec = spec_from_yaml(YAML_OK)
+    out = run_pipeline(spark, gen_telemetry(spark, 500, partitions=2), gen_lookup(spark), spec=spec)
+    sinks = {r["sink"] for r in out["sink_counts"].collect()}
+    assert sinks == {"sink_hot", "sink_default"}
+    total = sum(r["n_rows"] for r in out["sink_counts"].collect())
+    assert total == 500
