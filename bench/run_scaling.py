@@ -176,6 +176,9 @@ def main() -> None:
         import pyspark
 
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(result, f)
+            f.write("\n")
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             extra_rows = "".join(
                 f"| curve | local[{k}] | {2*k} | {v:.2f} | {args.rows/v:,.0f} |\n"

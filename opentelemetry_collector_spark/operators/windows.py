@@ -39,3 +39,29 @@ def rate_limit_topk(
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(F.date_trunc(bucket, F.col(ts_col)), *keys).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= limit).drop("_rn")
+
+
+def session_agg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap: str = "1 hour",
+) -> DataFrame:
+    """Sessionize per key with an inactivity gap (SURVEY.md §2.12).
+
+    Collector analog: the tail sampler's decision_wait buffering groups a
+    trace's spans until activity stops (tailsamplingprocessor ~approx);
+    ``session_window`` is the Spark-native form — works identically over a
+    batch DataFrame and a watermarked stream.  One shuffle on the keys;
+    session merge is done by the native SessionWindow exec, not in Python.
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(w.alias("sw"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .drop("sw")
+    )

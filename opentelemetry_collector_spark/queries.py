@@ -1146,3 +1146,34 @@ def chunk_token_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.size("tokens").alias("n_tok")).groupBy("n_tok").agg(
         F.count(F.lit(1)).alias("n_chunks")
     )
+
+
+@_q(
+    "session_window_agg",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 session buffering (tail-sampler decision_wait analog): native
+    session_window per user with a 1-hour inactivity gap; the DuckDB oracle
+    rebuilds identical sessions with gaps-and-islands SQL."""
+    from .operators.windows import session_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_agg(ev, ["user_id"], "ts", "1 hour").select(
+        "user_id", "n_events", "session_start", "session_end"
+    )

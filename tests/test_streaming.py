@@ -171,3 +171,43 @@ def test_streaming_batcher_flush_on_size(spark, tmp_path, seq_dir):
     for src in emitted:
         ids = sorted(r["batch_id"] for r in rows if r["source"] == src)
         assert ids == list(range(len(ids)))
+
+
+def test_session_agg_streaming(spark, tmp_path):
+    """session_agg runs unchanged over a watermarked stream (the tail
+    sampler's decision_wait in streaming form): sessions whose end falls
+    behind the watermark are finalized and emitted in append mode."""
+    from opentelemetry_collector_spark.operators.windows import session_agg
+
+    d = str(tmp_path / "in")
+    for seed in (5, 6):
+        (
+            gen_sequences(spark, 200, seed=seed, partitions=1)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(3600))
+                ),
+            )
+            .write.mode("append").parquet(d)
+        )
+    stream = read_stream_sequences(
+        spark,
+        d,
+        "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp",
+        max_files_per_trigger=1,
+    ).withWatermark("ts", "1 minute")
+    agg = session_agg(stream, ["source"], "ts", gap="30 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_start"] <= r["session_end"] and r["n_events"] >= 1
