@@ -117,5 +117,10 @@ def run_pipeline(
                 f"write:{r.sink}", lambda b=branch, s=r.sink: io.append_group(b, s, f"{run_id}-{s}")
             )
             metrics.rows.append((run_id, f"commit:{r.sink}", -1, None, None, None, snap))
+        # north_rule: per-partition lineage + throughput land in a metrics
+        # TABLE, not just the driver — lineage of the salted routed frame
+        # (the skew observatory) then the accumulated stage rows.
+        metrics.record_stage("routed:salted", cached)
+        io.append_group(metrics.to_df(spark), "_metrics", f"{run_id}-metrics")
         cached.unpersist()
     return out

@@ -112,3 +112,27 @@ def test_partition_lineage_counts(spark, tel):
     rows = lineage.collect()
     assert sum(r.n_rows for r in rows) == N
     assert len(rows) == 6
+
+
+def test_pipeline_emits_metrics_table(spark, tmp_path):
+    """north_rule: per-partition lineage + stage throughput written to a
+    metrics table alongside the sinks."""
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    io = ParquetSnapshotIO(str(tmp_path / "sinks"))
+    run_pipeline(spark, gen_telemetry(spark, 1000, partitions=4), gen_lookup(spark),
+                 io=io, run_id="mrun")
+    m = io.read(spark, "_metrics")
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert any(s.startswith("write:") for s in stages)
+    assert "routed:salted" in stages
+    # per-partition lineage rows exist (partition_id >= 0) and sum to input
+    lineage_total = (
+        m.filter("stage = 'routed:salted' AND partition_id >= 0")
+        .agg(F.sum("rows_out").alias("n")).collect()[0]["n"]
+    )
+    assert lineage_total == 1000
+    # stage-total rows carry wall_ms (throughput derivable)
+    assert m.filter("partition_id = -1 AND wall_ms IS NOT NULL").count() >= 1
