@@ -90,6 +90,13 @@ def main() -> None:
             best = wall if best is None else min(best, wall)
     thr = n_rows / best
 
+    scaling = None
+    scal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scal_path):
+        with open(scal_path) as f:
+            sc = json.load(f)
+        scaling = {k: sc[k] for k in ("n_cores", "fourn_cores", "thr_n", "thr_4n", "efficiency", "rows") if k in sc}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -105,6 +112,7 @@ def main() -> None:
                     "seq_per_sec": round(thr, 1),
                     "cores": cpus,
                 },
+                "scaling": scaling,
             }
         )
     )
