@@ -1,6 +1,7 @@
 """spark-submit entrypoint for the flagship pipeline (north_rule packaging).
 
-    spark-submit --master local[8] --py-files dist/pipeline.zip \
+    spark-submit --master local[8] --driver-memory 4g \
+        --py-files dist/pipeline.zip \
         jobs/pipeline_job.py --rows 100000 --output /tmp/otelspark_out
 
 On a cluster the master/executors come from spark-submit; this script only
@@ -42,6 +43,23 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+
+    # Fail-fast sizing check: local[k] with spark-submit's default 1g heap
+    # cannot buffer k concurrent parquet writers (~128 MB row-group each).
+    # Rule of thumb: >= 256 MB heap per executor thread (cluster executors
+    # normally get 4-8 GB for 4-8 cores).
+    import re as _re
+    m = _re.match(r"local\[(\d+|\*)\]", spark.sparkContext.master or "")
+    if m and args.output:
+        import os as _os
+        threads = _os.cpu_count() if m.group(1) == "*" else int(m.group(1))
+        heap_mb = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory() / 1e6)
+        if heap_mb < 256 * threads:
+            print(
+                f"WARNING: {heap_mb} MB heap for {threads} local threads; "
+                f"writes may OOM — pass --driver-memory {max(4, threads // 4)}g",
+                file=sys.stderr,
+            )
 
     from opentelemetry_collector_spark.plans.metrics import StageMetrics
     from opentelemetry_collector_spark.plans.pipeline import run_pipeline

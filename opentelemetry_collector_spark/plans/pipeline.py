@@ -59,6 +59,9 @@ class PipelineSpec:
     size_col: str = "n_tok"
     salt_buckets: int = 32
     lookup_defaults: dict[str, object] = field(default_factory=lambda: {"env": "unknown"})
+    # ONE partitionBy(sink) write instead of cache + N filtered writes —
+    # the only mode that holds at 10^12 rows (no full-dataset cache copy).
+    single_pass_fanout: bool = True
 
 
 def run_pipeline(
@@ -106,21 +109,45 @@ def run_pipeline(
 
     if io is not None:
         # Salt the routed write so the zipf-head source spreads across
-        # writers (north_rule skew mandate), then write per sink.
+        # writers (north_rule skew mandate).
         salted = tagged.repartition(
             spec.salt_buckets, *salted_key(F.col("sink"), F.col(spec.id_col), spec.salt_buckets)
         )
-        cached = salted.persist()
-        for r in sorted(spec.routes, key=lambda x: x.priority):
-            branch = cached.filter(F.col("sink") == r.sink)
-            snap = metrics.timeit(
-                f"write:{r.sink}", lambda b=branch, s=r.sink: io.append_group(b, s, f"{run_id}-{s}")
+        sinks = [r.sink for r in sorted(spec.routes, key=lambda x: x.priority)]
+        if spec.single_pass_fanout and hasattr(io, "append_group_partitioned"):
+            # 100 TB path: ONE partitionBy(sink) pass, no cache — every row
+            # written exactly once; per-sink manifests keep resume semantics.
+            snaps = metrics.timeit(
+                "write:fanout",
+                lambda: io.append_group_partitioned(salted, "sink", sinks, run_id),
             )
-            metrics.rows.append((run_id, f"commit:{r.sink}", -1, None, None, None, snap))
+            for s, snap in snaps.items():
+                metrics.rows.append((run_id, f"commit:{s}", -1, None, None, None, snap))
+            # lineage from the WRITTEN data (columnar count readback) — no
+            # second execution of the parse/enrich DAG.
+            written = spark.read.parquet(f"{io.root}/_fanout/data/group={run_id}")
+            for row in (
+                written.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+            ):
+                metrics.rows.append(
+                    (run_id, f"lineage:{row['sink']}", -1, None, int(row["n"]), None, None)
+                )
+        else:
+            # fallback (non-partitioned IO): bounded-memory DISK_ONLY cache +
+            # per-sink filtered writes — never MEMORY-pressure the executors
+            # with a full copy of the routed frame.
+            from pyspark.storagelevel import StorageLevel
+
+            cached = salted.persist(StorageLevel.DISK_ONLY)
+            for s in sinks:
+                branch = cached.filter(F.col("sink") == s)
+                snap = metrics.timeit(
+                    f"write:{s}", lambda b=branch, t=s: io.append_group(b, t, f"{run_id}-{t}")
+                )
+                metrics.rows.append((run_id, f"commit:{s}", -1, None, None, None, snap))
+            metrics.record_stage("routed:salted", cached)
+            cached.unpersist()
         # north_rule: per-partition lineage + throughput land in a metrics
-        # TABLE, not just the driver — lineage of the salted routed frame
-        # (the skew observatory) then the accumulated stage rows.
-        metrics.record_stage("routed:salted", cached)
+        # TABLE, not just the driver.
         io.append_group(metrics.to_df(spark), "_metrics", f"{run_id}-metrics")
-        cached.unpersist()
     return out

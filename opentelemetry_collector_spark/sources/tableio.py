@@ -89,13 +89,83 @@ class ParquetSnapshotIO(TableIO):
             return set()
         return {f[: -len(".json")] for f in os.listdir(snap_dir) if f.endswith(".json")}
 
+    def append_group_partitioned(
+        self, df: DataFrame, part_col: str, tables: list[str], group_id: str
+    ) -> dict[str, str]:
+        """Single-pass fan-out: ONE ``partitionBy(part_col)`` write of the
+        whole routed frame, then one commit marker per sink table pointing at
+        its partition subdirectory.
+
+        This is the 100 TB fanout path: the alternative (cache + N filtered
+        writes) either re-scans the input N times or round-trips the full
+        dataset through a persisted copy.  Here every row is written exactly
+        once; per-sink visibility still goes through the same manifest gate,
+        so resume semantics are unchanged (all-sinks-committed ⇒ skip;
+        partial crash ⇒ data dir overwritten idempotently, markers re-laid).
+        """
+        fan_base = os.path.join(self.root, "_fanout", "data")
+        data_dir = os.path.join(fan_base, f"group={group_id}")
+        if all(group_id in self.committed_groups(t) for t in tables):
+            out = {}
+            for t in tables:
+                with open(os.path.join(self._tdir(t), "_snapshots", f"{group_id}.json")) as f:
+                    out[t] = json.load(f)["snapshot_id"]
+            return out
+        df.write.mode("overwrite").partitionBy(part_col).parquet(data_dir)
+        out = {}
+        for t in tables:
+            snap_dir = os.path.join(self._tdir(t), "_snapshots")
+            manifest = os.path.join(snap_dir, f"{group_id}.json")
+            snapshot_id = f"snap-{group_id}-{uuid.uuid4().hex[:12]}"
+            os.makedirs(snap_dir, exist_ok=True)
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "snapshot_id": snapshot_id,
+                        "group_id": group_id,
+                        "committed_at": time.time(),
+                        "external_base": fan_base,
+                        "external_path": os.path.join(data_dir, f"{part_col}={t}"),
+                    },
+                    f,
+                )
+            os.replace(tmp, manifest)
+            out[t] = snapshot_id
+        return out
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        """Read only committed groups (manifest-gated visibility)."""
+        """Read only committed groups (manifest-gated visibility); groups may
+        live in the table's own data dir or in a shared _fanout partition."""
         committed = sorted(self.committed_groups(table))
         if not committed:
             raise FileNotFoundError(f"table {table!r} has no committed snapshots")
-        paths = [os.path.join(self._tdir(table), "data", f"group={g}") for g in committed]
-        return spark.read.option("basePath", os.path.join(self._tdir(table), "data")).parquet(*paths)
+        plain: list[str] = []
+        ext: dict[str, list[str]] = {}
+        for g in committed:
+            with open(os.path.join(self._tdir(table), "_snapshots", f"{g}.json")) as f:
+                m = json.load(f)
+            if "external_path" in m:
+                # empty sinks write no partition subdir — skip missing dirs
+                if os.path.isdir(m["external_path"]):
+                    ext.setdefault(m["external_base"], []).append(m["external_path"])
+            else:
+                plain.append(os.path.join(self._tdir(table), "data", f"group={g}"))
+        frames = []
+        if plain:
+            frames.append(
+                spark.read.option(
+                    "basePath", os.path.join(self._tdir(table), "data")
+                ).parquet(*plain)
+            )
+        for base, paths in ext.items():
+            frames.append(spark.read.option("basePath", base).parquet(*paths))
+        if not frames:
+            raise FileNotFoundError(f"table {table!r}: all committed groups empty")
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf, allowMissingColumns=True)
+        return out
 
 
 @dataclass

@@ -98,7 +98,9 @@ def test_full_pipeline_with_sinks_and_metrics(spark, tel, tmp_path):
     total = sum(io.read(spark, s).count() for s in io_sinks(io))
     assert total == N
     mdf = m.to_df(spark)
-    assert mdf.filter("stage LIKE 'write:%'").count() == 4
+    # single-pass fanout: one write stage, one commit row per sink
+    assert mdf.filter("stage LIKE 'write:%'").count() == 1
+    assert mdf.filter("stage LIKE 'commit:%'").count() == 4
 
 
 def io_sinks(io):
@@ -127,10 +129,10 @@ def test_pipeline_emits_metrics_table(spark, tmp_path):
     m = io.read(spark, "_metrics")
     stages = {r["stage"] for r in m.select("stage").distinct().collect()}
     assert any(s.startswith("write:") for s in stages)
-    assert "routed:salted" in stages
-    # per-partition lineage rows exist (partition_id >= 0) and sum to input
+    assert any(s.startswith("commit:") for s in stages)
+    # per-sink lineage from the written data sums to the input
     lineage_total = (
-        m.filter("stage = 'routed:salted' AND partition_id >= 0")
+        m.filter("stage LIKE 'lineage:%'")
         .agg(F.sum("rows_out").alias("n")).collect()[0]["n"]
     )
     assert lineage_total == 1000
