@@ -138,3 +138,35 @@ def test_pipeline_emits_metrics_table(spark, tmp_path):
     assert lineage_total == 1000
     # stage-total rows carry wall_ms (throughput derivable)
     assert m.filter("partition_id = -1 AND wall_ms IS NOT NULL").count() >= 1
+
+
+def test_partitioned_fanout_resume_after_partial_commit(spark, tmp_path):
+    """Crash between laying sink manifests: data written, only SOME sinks
+    committed. Re-run must re-lay the remaining markers without duplicating
+    rows (the data dir overwrite is idempotent; manifests gate visibility)."""
+    import os
+
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    io = ParquetSnapshotIO(str(tmp_path / "sinks"))
+    tel = gen_telemetry(spark, 1000, partitions=4)
+    run_pipeline(spark, tel, gen_lookup(spark), io=io, run_id="r1")
+    # simulate the crash: delete two of the four sink manifests
+    for sink in ("sink_warm", "sink_errors"):
+        os.remove(str(tmp_path / "sinks" / sink / "_snapshots" / "r1.json"))
+    with pytest.raises(FileNotFoundError):
+        io.read(spark, "sink_warm")
+    # resume: same run_id → rewrites data dir (idempotent) + re-lays markers
+    run_pipeline(spark, tel, gen_lookup(spark), io=io, run_id="r1")
+    total = sum(
+        io.read(spark, s).count()
+        for s in ("sink_hot", "sink_warm", "sink_errors", "sink_default")
+    )
+    assert total == 1000
+    # fully-committed second resume is a pure no-op (snapshot ids unchanged)
+    ids1 = {s: sorted(io.committed_groups(s)) for s in ("sink_hot", "sink_warm")}
+    run_pipeline(spark, tel, gen_lookup(spark), io=io, run_id="r1")
+    ids2 = {s: sorted(io.committed_groups(s)) for s in ("sink_hot", "sink_warm")}
+    assert ids1 == ids2
