@@ -41,6 +41,11 @@ HEADLINE = [
     "sample_prob",
     "filter_include_exclude",
     "agg_rollup_counts",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "token_freq_topk",
+    "session_window_agg",
 ]
 
 

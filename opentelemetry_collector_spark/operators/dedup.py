@@ -55,7 +55,10 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3, mode: 
     elif mode == "portable":
         if n != 3:
             raise ValueError("portable mode implements n=3")
-        codes = word_codes(F.col(text_col))
+        # stage the codes: the HOF expression would otherwise be recomputed
+        # per element_at reference (no CSE through higher-order functions)
+        df = df.select(F.col(id_col), word_codes(F.col(text_col)).alias("_codes"))
+        codes = F.col("_codes")
         sh = F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(codes) - 2, F.lit(0))),
             lambda i: F.pmod(
@@ -155,8 +158,16 @@ def ngram_jaccard_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """(id, simhash): b-bit majority signature over portable word codes.
-    Near-dups differ in ≤3 bits; pair lookup = bit_count(xor) ≤ r."""
-    codes = word_codes(F.col(text_col))
+    Near-dups differ in ≤3 bits; pair lookup = bit_count(xor) ≤ r.
+
+    The word codes are STAGED behind a projection before the per-bit
+    aggregates: higher-order functions block subexpression elimination, so
+    referencing the codes expression 17 times would recompute the word
+    hashing 17× per row (measured 2.4× slower end-to-end).  CollapseProject
+    keeps the boundary because the staged expression is non-cheap and
+    multiply-referenced."""
+    df = df.select(F.col(id_col), word_codes(F.col(text_col)).alias("_codes"))
+    codes = F.col("_codes")
     nwords = F.size(codes)
 
     def bit_adder(b: int):

