@@ -101,9 +101,9 @@ def rolling_hash(text: Column) -> Column:
     this form exists so the correctness gate can recompute it in DuckDB.
     """
     return F.aggregate(
-        F.sequence(F.lit(1), F.length(text)),
+        F.split(text, ""),
         F.lit(0).cast("long"),
-        lambda acc, i: F.pmod(acc * 31 + F.ascii(F.substring(text, i, F.lit(1))), F.lit(MOD)),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(MOD)),
     )
 
 
