@@ -45,16 +45,24 @@ def cosine_topk(
     queries×vectors, rank per query.  queries is broadcast (it's small);
     the big side streams through codegen once, never shuffling raw vectors —
     only (query, id, score) tuples reach the ranking shuffle."""
+    # norms are per-ROW quantities: stage them before the pair join, else
+    # each PAIR re-traverses both arrays twice more (3 aggregates vs 1).
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
     )
+    v = vectors.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn"))
     scored = (
-        vectors.alias("v")
-        .join(q, F.col("query_id") != F.col(id_col))
+        v.join(q, F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col(vec_col)), round_to).alias("cos"),
+            F.round(
+                dot(F.col("qvec"), F.col(vec_col)) / (F.col("_qn") * F.col("_vn")), round_to
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -102,10 +110,15 @@ def lsh_cosine_topk(
     """IVF-ish ANN: rank only within the query's LSH bucket.  The bucketed
     table is computed once (persist/write in practice) and the probe is an
     equi-join on bucket — candidates shrink ~2^bits vs brute force."""
-    bv = lsh_bucketed_vectors(vectors, dim, bits, id_col, vec_col)
+    bv = lsh_bucketed_vectors(vectors, dim, bits, id_col, vec_col).withColumn(
+        "_vn", norm(F.col(vec_col))
+    )
     bq = F.broadcast(
         lsh_bucketed_vectors(queries, dim, bits, id_col, vec_col).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            "bucket",
+            norm(F.col(vec_col)).alias("_qn"),
         )
     )
     scored = (
@@ -114,7 +127,9 @@ def lsh_cosine_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos"),
+            F.round(
+                dot(F.col("qvec"), F.col(vec_col)) / (F.col("_qn") * F.col("_vn")), 4
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -132,10 +147,15 @@ def embedding_neardup_pairs(
     All-pairs form for verification scale; at 100 TB gate it behind
     ``lsh_bucketed_vectors`` (join on bucket) exactly like minhash LSH."""
     v = vectors if max_id is None else vectors.filter(F.col(id_col) < max_id)
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    v = v.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_n").alias("_na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_n").alias("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 4).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
