@@ -12,7 +12,7 @@ the reference has maps onto Structured Streaming:
 """
 
 from .micro_batch import read_stream_sequences, run_stream_pipeline, windowed_sink_counts
-from .stateful import streaming_accumulator, streaming_batcher
+from .stateful import streaming_accumulator, streaming_batcher, streaming_tail_sample
 
 __all__ = [
     "read_stream_sequences",
@@ -20,4 +20,5 @@ __all__ = [
     "windowed_sink_counts",
     "streaming_accumulator",
     "streaming_batcher",
+    "streaming_tail_sample",
 ]

@@ -96,3 +96,64 @@ def streaming_batcher(stream: DataFrame, batch_size: int, key_col: str = "source
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TAIL_OUT = "trace_id string, span_id string, ts timestamp, level string"
+TAIL_STATE = "span_ids array<string>, ts_us array<long>, levels array<string>, max_ts_ms bigint"
+
+
+def make_tail_sampler(decision_wait_ms: int, keep_levels: tuple = ("ERROR",)):
+    """Streaming tail sampler (tailsamplingprocessor decision_wait analog):
+    buffer a trace's spans in state; when no span arrives for
+    ``decision_wait`` of EVENT time (watermark-driven timeout), decide over
+    the WHOLE trace and emit it iff any span matches ``keep_levels``."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            span_ids, ts_us, levels, _ = state.get
+            state.remove()
+            if any(lv in keep_levels for lv in levels):
+                yield pd.DataFrame(
+                    {
+                        "trace_id": [key[0]] * len(span_ids),
+                        "span_id": list(span_ids),
+                        "ts": pd.to_datetime(list(ts_us), unit="us"),
+                        "level": list(levels),
+                    }
+                )
+            return
+        span_ids, ts_us, levels, max_ts_ms = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        span_ids, ts_us, levels = list(span_ids), list(ts_us), list(levels)
+        for pdf in pdfs:
+            span_ids.extend(pdf["span_id"].astype(str))
+            us = (pdf["ts"].astype("int64") // 1000).tolist()
+            ts_us.extend(us)
+            levels.extend(pdf["level"].astype(str))
+            if us:
+                max_ts_ms = max(max_ts_ms, max(us) // 1000)
+        state.update((span_ids, ts_us, levels, max_ts_ms))
+        # decision point = last span's event time + decision_wait
+        state.setTimeoutTimestamp(max_ts_ms + decision_wait_ms)
+
+    return fn
+
+
+def streaming_tail_sample(
+    stream: DataFrame, decision_wait_ms: int = 30_000, keep_levels: tuple = ("ERROR",)
+) -> DataFrame:
+    """Tail-based sampling over a watermarked span stream.
+
+    State per in-flight trace is O(#spans of that trace); traces are evicted
+    at decision time, so steady-state memory is bounded by the decision
+    window — exactly the reference's num_traces cap semantics.  Requires
+    ``stream.withWatermark('ts', ...)`` upstream.
+    """
+    return stream.groupBy("trace_id").applyInPandasWithState(
+        make_tail_sampler(decision_wait_ms, keep_levels),
+        outputStructType=TAIL_OUT,
+        stateStructType=TAIL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

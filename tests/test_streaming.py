@@ -211,3 +211,52 @@ def test_session_agg_streaming(spark, tmp_path):
     assert len(rows) > 0
     for r in rows:
         assert r["session_start"] <= r["session_end"] and r["n_events"] >= 1
+
+
+def test_streaming_tail_sampler_decision_wait(spark, tmp_path):
+    """Traces are buffered until decision_wait of EVENT time passes without
+    new spans, then emitted whole iff any span is an ERROR."""
+    from opentelemetry_collector_spark.streaming.stateful import streaming_tail_sample
+
+    d = str(tmp_path / "in")
+    base = "2024-01-01 00:00:"
+    # file1: trace t1 (has ERROR) + t2 (INFO only), both finish early
+    spark.createDataFrame(
+        [
+            ("t1", "s1", f"{base}01", "INFO"),
+            ("t1", "s2", f"{base}05", "ERROR"),
+            ("t2", "s3", f"{base}03", "INFO"),
+        ],
+        "trace_id string, span_id string, ts_s string, level string",
+    ).selectExpr("trace_id", "span_id", "cast(ts_s as timestamp) ts", "level").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    # file2: a late trace far in the future pushes the watermark past
+    # t1/t2's decision point (ts 00:05:00 ⇒ watermark 00:04:50 ≫ 00:00:15)
+    spark.createDataFrame(
+        [("t3", "s4", "2024-01-01 00:05:00", "INFO")],
+        "trace_id string, span_id string, ts_s string, level string",
+    ).selectExpr("trace_id", "span_id", "cast(ts_s as timestamp) ts", "level").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("trace_id string, span_id string, ts timestamp, level string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        streaming_tail_sample(stream, decision_wait_ms=10_000, keep_levels=("ERROR",))
+        .writeStream.format("memory")
+        .queryName("tail")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT trace_id, span_id FROM tail ORDER BY span_id").collect()
+    got = {(r["trace_id"], r["span_id"]) for r in rows}
+    # t1 emitted WHOLE (both spans, including the pre-error INFO one); t2
+    # dropped (no ERROR); t3 still buffered (never timed out)
+    assert got == {("t1", "s1"), ("t1", "s2")}
