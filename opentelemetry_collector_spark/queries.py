@@ -1177,3 +1177,28 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(ev, ["user_id"], "ts", "1 hour").select(
         "user_id", "n_events", "session_start", "session_end"
     )
+
+
+@_q(
+    "len_quantiles_by_source",
+    """
+    SELECT source,
+           CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_cont(n_chars, 0.99) AS DOUBLE) AS p99,
+           max(n_chars) AS mx
+    FROM documents GROUP BY source
+    """,
+)
+def len_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus audit: exact length percentiles per source (continuous
+    interpolation — matches DuckDB quantile_cont bit-for-bit).  At 100 TB
+    swap `percentile` for `percentile_approx` (sketch-mergeable, one pass);
+    the exact form here is what the oracle can verify."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99"),
+        F.max("n_chars").alias("mx"),
+    )
