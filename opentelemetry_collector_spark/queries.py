@@ -477,7 +477,7 @@ def route_exhaustive_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "agg_counts_by_source",
     """
-    SELECT source, count(*) AS n_rows, sum(n_chars) AS n_chars_sum
+    SELECT source, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
     FROM documents GROUP BY source
     """,
 )
@@ -492,7 +492,7 @@ def agg_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_counts_by_sink",
     f"""
     WITH tagged AS (SELECT n_chars, {_DOC_ROUTES_SQL} AS sink FROM documents)
-    SELECT sink, count(*) AS n_rows, sum(n_chars) AS n_chars_sum
+    SELECT sink, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
     FROM tagged GROUP BY sink
     """,
 )
@@ -1003,7 +1003,7 @@ ORACLES["ann_lsh_bucketed"] = (
     "mm_media_stats",
     """
     SELECT 'image' AS kind, count(*) AS n_media,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            ROUND(avg(octet_length(encode(text))), 4) AS avg_bytes
     FROM documents
     """,

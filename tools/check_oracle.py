@@ -84,11 +84,23 @@ def main():
             "TIMESTAMP": "timestamp_ntz", "DATETIME": "timestamp_ntz",
             "HUGEINT": "bigint", "BLOB": "binary", "DECIMAL": "double",
         }
+        type_fail = False
         for c in sc:
-            want = CANON.get(dtypes_map.get(c, ""), dtypes_map.get(c, "?"))
+            raw = dtypes_map.get(c, "?")
+            want = CANON.get(raw, raw)
             got = stypes.get(c, "?")
             if want != got and not (want.startswith("NUMBER") or got.startswith("array")):
-                print(f"  TYPE-WARN {k}.{c}: spark={got} duck={dtypes_map.get(c)}")
+                print(f"  TYPE-WARN {k}.{c}: spark={got} duck={raw}")
+            # The driver renders DuckDB HUGEINT (bare integer sum()) / DECIMAL
+            # differently from Spark BIGINT/DOUBLE and hash-fails; our str()
+            # canonicalization can't see that, so treat these as hard fails
+            # (round 1 lesson: agg_counts_by_source/by_sink, mm_media_stats).
+            if raw.startswith(("HUGEINT", "DECIMAL")):
+                print(f"FAIL {k}: oracle column {c} is {raw} — CAST it (driver hash-fails these)")
+                type_fail = True
+        if type_fail:
+            n_fail += 1
+            continue
         if len(sv) != len(dv):
             print(f"FAIL {k}: rowcount spark={len(sv)} duck={len(dv)}")
             n_fail += 1
