@@ -75,10 +75,12 @@ def hyperplane_sign(i: int, j: int) -> int:
     return 1 if ((i * 1_000_003 + j * 7_919) % 97) < 48 else -1
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: bit j = sign(⟨vec, plane_j⟩)."""
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id: bit r = sign(⟨vec, plane_{offset+r}⟩).
+    ``plane_offset`` lets banded callers draw disjoint plane sets per band."""
     bucket = F.lit(0)
-    for j in range(bits):
+    for r in range(bits):
+        j = plane_offset + r
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -88,7 +90,7 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0))
     return bucket.cast("int")
 
 
@@ -134,6 +136,108 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def lsh_band_signatures(
+    vectors: DataFrame,
+    dim: int,
+    bands: int = 8,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, sig) — one row per (vector, band); band b hashes planes
+    b·bits … b·bits+bits−1.  Same banding contract as minhash LSH
+    (SURVEY §2.13a): a pair is a candidate iff it matches some band exactly.
+    Only (id, band, sig) leaves this projection — vectors never shuffle."""
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket(F.col(vec_col), dim, bits, plane_offset=b * bits).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        vectors.select(F.col(id_col), F.explode(sigs).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bands: int = 8,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded sign-LSH candidates →
+    exact cosine verify.  (id_a, id_b, cos ≥ τ), candidates only — the
+    pair join is an EQUI-join on (band, sig), never a nested loop; the
+    exact verify re-joins candidate ids against a staged (id, vec, norm)
+    projection, so raw vectors cross the wire O(candidates), not O(n²).
+
+    Recall is governed by (bands, bits): P[candidate] = 1−(1−p^bits)^bands
+    with p = 1−θ/π.  Measure it with ``lsh_candidate_recall`` — at loose
+    thresholds sign-LSH is deliberately lossy; that is the scale trade."""
+    sigs = lsh_band_signatures(vectors, dim, bands, bits, id_col, vec_col)
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_n").alias("_na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_n").alias("_nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), round_to).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def lsh_candidate_recall(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    bands: int = 8,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_id: int | None = None,
+) -> DataFrame:
+    """Honest-recall audit of the banded gate: 1 row
+    (n_true, n_hit, recall) — of the all-pairs ground-truth pairs at τ,
+    how many survive LSH candidate generation.  Run at small SF only
+    (the ground truth side is the O(n²) form)."""
+    truth = embedding_neardup_pairs(vectors, threshold, id_col, vec_col, max_id)
+    v = vectors if max_id is None else vectors.filter(F.col(id_col) < max_id)
+    cand = lsh_neardup_pairs(vectors=v, threshold=-1.0, dim=dim, bands=bands, bits=bits,
+                             id_col=id_col, vec_col=vec_col).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+        )
+    )
 
 
 def embedding_neardup_pairs(

@@ -910,36 +910,107 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2, mode="raw")
 
 
+def _lsh_bucket_sql(bits: int = 8, dim: int = 64, plane_offset: int = 0) -> str:
+    from .operators.similarity import hyperplane_sign
+
+    terms = []
+    for r in range(bits):
+        j = plane_offset + r
+        signs = ", ".join(f"{float(hyperplane_sign(i, j))}" for i in range(dim))
+        proj = (
+            f"list_sum(list_transform(range(1, {dim}+1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << r} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine(a.embedding, b.embedding) with the same per-element
+    double cast + left-to-right accumulation as operators.similarity.dot."""
+
+    def d(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim}+1), "
+            f"i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
+        )
+
+    return f"{d(a, b)} / (sqrt({d(a, a)}) * sqrt({d(b, b)}))"
+
+
+def _lsh_sigs_sql(bands: int, bits: int, dim: int = 64, src: str = "v") -> str:
+    """Banded LSH signatures CTE body: one row per (vec_id, band)."""
+    selects = [
+        f"SELECT vec_id, {b} AS band, "
+        f"CAST({_lsh_bucket_sql(bits, dim, plane_offset=b * bits)} AS INTEGER) AS sig FROM {src}"
+        for b in range(bands)
+    ]
+    return "\n      UNION ALL\n      ".join(selects)
+
+
 @_q(
     "dedup_embedding_cosine",
-    """
-    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(
-             list_sum(list_transform(range(1, len(a.embedding)+1),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
-                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-           , 4) AS cos
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND(
-             list_sum(list_transform(range(1, len(a.embedding)+1),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
-                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-           , 4) >= 0.35
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    sigs AS (
+      {_lsh_sigs_sql(bands=8, bits=4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, ROUND({_cos_sql('va', 'vb')}, 4) AS cos
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b
+    WHERE ROUND({_cos_sql('va', 'vb')}, 4) >= 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact verify form)."""
-    from .operators.similarity import embedding_neardup_pairs
+    """Embedding-cosine near-dup, scale path: banded sign-LSH candidates
+    (equi-join on (band, sig) — never a nested loop) → exact cosine verify.
+    The oracle recomputes the identical banded algorithm in SQL; recall of
+    the gate vs all-pairs ground truth is value-checked separately by
+    `dedup_embedding_recall` (sign-LSH is deliberately lossy at loose τ)."""
+    from .operators.similarity import lsh_neardup_pairs
+
+    v = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return lsh_neardup_pairs(v, threshold=0.35, dim=64, bands=8, bits=4)
+
+
+@_q(
+    "dedup_embedding_recall",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    sigs AS (
+      {_lsh_sigs_sql(bands=8, bits=4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND({_cos_sql('a', 'b')}, 4) >= 0.35
+    ),
+    hit AS (
+      SELECT t.id_a FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM hit) AS n_hit,
+           ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 4) AS recall
+    """,
+)
+def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-recall audit of the LSH gate: of the all-pairs ground-truth
+    near-dup pairs at τ, how many survive banded candidate generation.
+    Small-SF-only by construction (truth side is the O(n²) form)."""
+    from .operators.similarity import lsh_candidate_recall
 
     v = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(v, threshold=0.35, max_id=300)
+    return lsh_candidate_recall(v, threshold=0.35, dim=64, bands=8, bits=4, max_id=300)
 
 
 @_q(
@@ -969,20 +1040,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings")
     q = v.filter(F.col("vec_id") < 3)
     return cosine_topk(v, q, k=5)
-
-
-def _lsh_bucket_sql(bits: int = 8, dim: int = 64) -> str:
-    from .operators.similarity import hyperplane_sign
-
-    terms = []
-    for j in range(bits):
-        signs = ", ".join(f"{float(hyperplane_sign(i, j))}" for i in range(dim))
-        proj = (
-            f"list_sum(list_transform(range(1, {dim}+1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]))"
-        )
-        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
-    return " + ".join(terms)
 
 
 @_q("ann_lsh_bucketed", None)

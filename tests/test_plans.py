@@ -95,6 +95,15 @@ def test_star_join_broadcasts_small_dims(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_embedding_neardup_is_bucket_equi_join(spark):
+    """The keyed embedding near-dup must be the LSH scale path: candidate
+    generation is an equi-join on (band, sig) — a nested-loop/cartesian
+    pair join here is the one plan that dies at 100 TB."""
+    plan = explain(QUERIES["dedup_embedding_cosine"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_repartition_spreads_skew(spark):
     from opentelemetry_collector_spark.functions.hashing import salted_key
 
