@@ -186,12 +186,61 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Verify-stage pair join on simhash signatures (bit_count(a^b) ≤ r).
-    At scale, pre-bucket by bit-masked prefixes instead of cross join."""
+    """All-pairs reference form (bit_count(a^b) ≤ r) — verification scale
+    only; the keyed/scale path is ``simhash_banded_pairs`` below."""
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+
+
+def simhash_banded_pairs(
+    sig: DataFrame, bits: int = 16, bands: int = 4, max_hamming: int | None = None
+) -> DataFrame:
+    """Scale path for simhash pair search: split the b-bit signature into
+    ``bands`` contiguous bit-blocks and equi-join on (band, block).
+
+    Pigeonhole EXACTNESS (not probabilistic): a pair differing in
+    ≤ bands−1 bits must agree on at least one whole block, so with the
+    default max_hamming = bands−1 this finds exactly the same pairs as the
+    all-pairs form — but the pair join is an equi-join whose volume is
+    collision-sized, never n².  Only (id, simhash, band, block) rows
+    shuffle; ``distinct`` dedups pairs that collide in several bands."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    if max_hamming > bands - 1:
+        raise ValueError(f"banding is exact only for hamming ≤ bands-1 ({bands - 1})")
+    rb = bits // bands
+    mask = (1 << rb) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * rb).bitwiseAND(F.lit(mask)).alias("blk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bk = sig.select("id", "simhash", F.explode(blocks).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.blk").alias("blk")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, on=["band", "blk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -879,6 +879,34 @@ ORACLES["dedup_simhash"] = f"""
     SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM words
 """
 
+# All-pairs hamming oracle for the BANDED keyed query: 4 bands × 4 bits is
+# pigeonhole-exact at hamming ≤ 3, so the simple O(n²) SQL (fine at sf0.01)
+# must produce the identical pair set.
+ORACLES["dedup_simhash_pairs"] = f"""
+    WITH words AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM words)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_q(
+    "dedup_simhash_pairs",
+    None,  # filled below (reuses the generated per-bit simhash SQL)
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, scale path: 4 bands × 4 bits, equi-join on
+    (band, block) — pigeonhole-exact for hamming ≤ 3, so the all-pairs
+    oracle SQL checks the banded plan loses nothing (and the plan test
+    checks it never nested-loops)."""
+    from .operators.dedup import simhash, simhash_banded_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sig = simhash(d, "doc_id", "text", bits=16)
+    return simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=3)
+
 
 @_q(
     "dedup_ngram_jaccard",

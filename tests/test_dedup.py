@@ -102,3 +102,25 @@ def test_embedding_neardup(spark):
     )
     pairs = {(r.id_a, r.id_b): r.cos for r in embedding_neardup_pairs(vecs, threshold=0.95).collect()}
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.99
+
+
+def test_simhash_banded_matches_all_pairs(spark, docs):
+    """Pigeonhole exactness: at max_hamming = bands-1 the banded equi-join
+    finds exactly the all-pairs result (no probabilistic loss)."""
+    from opentelemetry_collector_spark.operators.dedup import simhash_banded_pairs
+
+    sig = simhash(docs, "doc_id", "text", bits=16)
+    allp = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(sig, max_hamming=3).collect()}
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=3).collect()
+    }
+    assert banded == allp and allp  # non-empty: docs fixture has near-dups
+
+
+def test_simhash_banded_rejects_overwide_radius(spark, docs):
+    from opentelemetry_collector_spark.operators.dedup import simhash_banded_pairs
+
+    sig = simhash(docs, "doc_id", "text", bits=16)
+    with pytest.raises(ValueError):
+        simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=4)

@@ -104,6 +104,12 @@ def test_embedding_neardup_is_bucket_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_pairs_is_banded_equi_join(spark):
+    plan = explain(QUERIES["dedup_simhash_pairs"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_repartition_spreads_skew(spark):
     from opentelemetry_collector_spark.functions.hashing import salted_key
 
