@@ -1,0 +1,88 @@
+"""Prometheus-style relabel chain (SURVEY §2.1 S5).
+
+The reference's Prometheus receiver applies scrape-config relabeling before
+metric build: `receiver/prometheusreceiver` delegates to Prometheus
+`pkg/relabel.Process` (relabel.go:~180 upstream library), whose contract is:
+
+- rules run **in order**, each seeing the previous rule's output;
+- the rule value is `join(source_label values, separator)` with missing
+  labels contributing the empty string;
+- `regex` is **fully anchored** (Prometheus compiles `^(?:re)$`);
+- `keep`/`drop` filter whole targets on value match;
+- `replace` writes the regex-expanded `replacement` into `target_label`
+  only when the regex matches — a non-match leaves the target untouched;
+- `lowercase`/`uppercase` write the case-folded value;
+- `labeldrop`/`labelkeep` filter label *names* by regex.
+
+Spark realization: labels are top-level string columns (survey §1.2); every
+action is a codegen expression (`rlike`/`regexp_replace`/`when`) so the
+whole chain stays JVM-side, and `keep`/`drop` filters are pushable
+predicates.  `labeldrop`/`labelkeep` are plan-time column ops (free).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+@dataclass(frozen=True)
+class RelabelRule:
+    action: str = "replace"  # replace|keep|drop|lowercase|uppercase|labeldrop|labelkeep
+    source_labels: tuple[str, ...] = ()
+    separator: str = ";"
+    regex: str = "(.*)"
+    target_label: str | None = None
+    replacement: str = "$1"
+
+
+def _anchored(regex: str) -> str:
+    """Prometheus full-anchors every relabel regex."""
+    return f"^(?:{regex})$"
+
+
+def _value(rule: RelabelRule) -> Column:
+    """join(source label values, separator); absent/null labels join as ''."""
+    return F.concat_ws(
+        rule.separator,
+        *[F.coalesce(F.col(label).cast("string"), F.lit("")) for label in rule.source_labels],
+    )
+
+
+def apply_relabel(df: DataFrame, rules: list[RelabelRule]) -> DataFrame:
+    """Apply a Prometheus relabel_config chain, rule by rule, in order."""
+    for r in rules:
+        if r.action in ("labeldrop", "labelkeep"):
+            pat = re.compile(_anchored(r.regex))
+            keep = r.action == "labelkeep"
+            for c in df.columns:
+                if bool(pat.match(c)) != keep:
+                    df = df.drop(c)
+            continue
+        val = _value(r)
+        pat = _anchored(r.regex)
+        if r.action == "keep":
+            df = df.filter(val.rlike(pat))
+        elif r.action == "drop":
+            df = df.filter(~val.rlike(pat))
+        elif r.action == "replace":
+            if r.target_label is None:
+                raise ValueError("replace requires target_label")
+            expanded = F.regexp_replace(val, pat, r.replacement)
+            existing = (
+                F.col(r.target_label)
+                if r.target_label in df.columns
+                else F.lit(None).cast("string")
+            )
+            df = df.withColumn(r.target_label, F.when(val.rlike(pat), expanded).otherwise(existing))
+        elif r.action in ("lowercase", "uppercase"):
+            if r.target_label is None:
+                raise ValueError(f"{r.action} requires target_label")
+            fold = F.lower(val) if r.action == "lowercase" else F.upper(val)
+            df = df.withColumn(r.target_label, fold)
+        else:
+            raise ValueError(f"unknown relabel action {r.action!r}")
+    return df

@@ -112,6 +112,60 @@ def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "relabel_chain",
+    r"""
+    WITH lab AS (
+      SELECT event_id, event_type AS metric,
+             CAST(user_id AS VARCHAR) AS usr,
+             json_extract_string(props, '$.k') AS k
+      FROM events),
+    r1 AS (SELECT * FROM lab WHERE regexp_full_match(metric, '(?:click|view|error)')),
+    r2 AS (SELECT event_id, regexp_replace(metric, '^(?:(.*))$', 'evt_\1') AS metric, usr, k
+           FROM r1),
+    r3 AS (SELECT event_id, metric, usr, k,
+                  CASE WHEN regexp_full_match(usr || ';' || metric, '(?:(\d+);evt_error)')
+                       THEN regexp_replace(usr || ';' || metric, '^(?:(\d+);evt_error)$', 'u\1')
+                  END AS alert_user
+           FROM r2),
+    r4 AS (SELECT * FROM r3 WHERE NOT regexp_full_match(coalesce(k, ''), '(?:9\d)'))
+    SELECT event_id, metric, usr, k, alert_user FROM r4
+    """,
+)
+def relabel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 Prometheus receiver relabel_config chain: keep → rename metric →
+    conditional label from multi-source value → drop.  Every action is a
+    pushable codegen expression; the oracle replays the same rule list as
+    anchored RE2 (upstream semantics: pkg/relabel.Process)."""
+    from .operators.relabel import RelabelRule, apply_relabel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("metric"),
+        F.col("user_id").cast("string").alias("usr"),
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+    rules = [
+        RelabelRule(action="keep", source_labels=("metric",), regex="click|view|error"),
+        RelabelRule(
+            action="replace",
+            source_labels=("metric",),
+            regex="(.*)",
+            target_label="metric",
+            replacement="evt_$1",
+        ),
+        RelabelRule(
+            action="replace",
+            source_labels=("usr", "metric"),
+            regex=r"(\d+);evt_error",
+            target_label="alert_user",
+            replacement="u$1",
+        ),
+        RelabelRule(action="drop", source_labels=("k",), regex=r"9\d"),
+    ]
+    return apply_relabel(ev, rules).select("event_id", "metric", "usr", "k", "alert_user")
+
+
+@_q(
     "gen_synthetic",
     """
     SELECT i AS id,

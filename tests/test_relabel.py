@@ -1,0 +1,124 @@
+"""Prometheus relabel_config parity (SURVEY §2.1 S5).
+
+Mirrors the upstream Prometheus `pkg/relabel` relabel_test.go case shapes:
+replace-with-backref, keep/drop filtering, no-match leaves target untouched,
+missing source labels join as empty string, case-fold actions, and
+labeldrop/labelkeep over label names.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_spark.operators.relabel import RelabelRule, apply_relabel
+
+
+@pytest.fixture(scope="module")
+def targets(spark):
+    return spark.createDataFrame(
+        [
+            ("node_cpu", "us-east", "a1", None),
+            ("node_mem", "eu-west", "b2", "extra"),
+            ("http_requests_total", "us-east", "c3", None),
+        ],
+        "name string, region string, instance string, tmp_scratch string",
+    )
+
+
+def test_replace_with_backref(spark, targets):
+    out = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="replace",
+                source_labels=("name",),
+                regex="node_(.*)",
+                target_label="subsystem",
+                replacement="sub_$1",
+            )
+        ],
+    ).collect()
+    got = {r.name: r.subsystem for r in out}
+    assert got == {"node_cpu": "sub_cpu", "node_mem": "sub_mem", "http_requests_total": None}
+
+
+def test_replace_no_match_leaves_target_untouched(spark, targets):
+    df = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="replace",
+                source_labels=("name",),
+                regex="nomatch.*",
+                target_label="region",
+                replacement="clobbered",
+            )
+        ],
+    )
+    assert {r.region for r in df.collect()} == {"us-east", "eu-west"}
+
+
+def test_keep_and_drop_are_full_anchored(spark, targets):
+    # unanchored 'node' would match node_cpu via search; anchored must not
+    kept = apply_relabel(targets, [RelabelRule(action="keep", source_labels=("name",), regex="node")])
+    assert kept.count() == 0
+    kept = apply_relabel(
+        targets, [RelabelRule(action="keep", source_labels=("name",), regex="node_.*")]
+    )
+    assert kept.count() == 2
+    dropped = apply_relabel(
+        targets, [RelabelRule(action="drop", source_labels=("name",), regex="node_.*")]
+    )
+    assert {r.name for r in dropped.collect()} == {"http_requests_total"}
+
+
+def test_multi_source_join_and_missing_label_empty(spark, targets):
+    # tmp_scratch is NULL for 2 rows -> joins as '' per Prometheus contract
+    out = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="replace",
+                source_labels=("name", "tmp_scratch"),
+                separator=";",
+                regex="(node_mem);extra",
+                target_label="hit",
+                replacement="$1",
+            )
+        ],
+    ).collect()
+    assert {r.name: r.hit for r in out} == {
+        "node_cpu": None,
+        "node_mem": "node_mem",
+        "http_requests_total": None,
+    }
+
+
+def test_case_fold_actions(spark, targets):
+    out = apply_relabel(
+        targets,
+        [RelabelRule(action="uppercase", source_labels=("region",), target_label="region_uc")],
+    ).collect()
+    assert {r.region_uc for r in out} == {"US-EAST", "EU-WEST"}
+
+
+def test_labeldrop_and_labelkeep(spark, targets):
+    df = apply_relabel(targets, [RelabelRule(action="labeldrop", regex="tmp_.*")])
+    assert df.columns == ["name", "region", "instance"]
+    df = apply_relabel(targets, [RelabelRule(action="labelkeep", regex="name|region")])
+    assert df.columns == ["name", "region"]
+
+
+def test_chain_order_matters(spark, targets):
+    """Rule 2 sees rule 1's rename — the in-order contract."""
+    chain = [
+        RelabelRule(
+            action="replace",
+            source_labels=("name",),
+            regex="node_(.*)",
+            target_label="name",
+            replacement="n_$1",
+        ),
+        RelabelRule(action="keep", source_labels=("name",), regex="n_.*"),
+    ]
+    assert {r.name for r in apply_relabel(targets, chain).collect()} == {"n_cpu", "n_mem"}
