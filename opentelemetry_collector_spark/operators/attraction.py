@@ -95,6 +95,61 @@ def apply_actions(df: DataFrame, actions: list[AttrAction]) -> DataFrame:
     return df
 
 
+def _map_source(m: Column, a: AttrAction) -> Column:
+    """Action value in map mode: literal, or a copy of another map entry
+    (reference FromAttribute reads the same AttributeMap)."""
+    if a.from_attribute is not None:
+        return F.element_at(m, F.lit(a.from_attribute))
+    return F.lit(None).cast("string") if a.value is None else F.lit(str(a.value))
+
+
+def apply_actions_map(df: DataFrame, attrs_col: str, actions: list[AttrAction]) -> DataFrame:
+    """Attraction over a genuine ``map<string,string>`` attrs column — the
+    reference's native reading (attraction.go mutates an AttributeMap in
+    place).  Same action list/order contract as the column-mode
+    ``apply_actions``; every action is a map expression (`map_concat` /
+    `map_filter` / `transform_values` / `map_contains_key`), all codegen.
+
+    Use this path when telemetry attrs genuinely arrive as maps; prefer
+    top-level columns (SURVEY §1.2) when the key set is known — columnar,
+    prunable, and ~the same action semantics via ``apply_actions``."""
+    m = F.col(attrs_col)
+    for a in actions:
+        key = F.lit(a.key)
+        has = F.map_contains_key(m, key)
+        src = _map_source(m, a)
+        entry = F.create_map(key, src)
+        if a.action == "insert":
+            new_m = F.when(has, m).otherwise(F.map_concat(m, entry))
+        elif a.action == "update":
+            new_m = F.when(
+                has, F.transform_values(m, lambda k, v: F.when(k == key, src).otherwise(v))
+            ).otherwise(m)
+        elif a.action == "upsert":
+            new_m = F.map_concat(F.map_filter(m, lambda k, v: k != key), entry)
+        elif a.action == "delete":
+            new_m = F.map_filter(m, lambda k, v: k != key)
+        elif a.action == "hash":
+            digest = (
+                (lambda v: F.sha2(v, 256)) if a.value == "sha256" else (lambda v: F.sha1(v))
+            )
+            new_m = F.transform_values(
+                m, lambda k, v: F.when((k == key) & v.isNotNull(), digest(v)).otherwise(v)
+            )
+        elif a.action == "convert":
+            t = a.converted_type or "string"
+            new_m = F.transform_values(
+                m, lambda k, v: F.when(k == key, v.cast(t).cast("string")).otherwise(v)
+            )
+        elif a.action == "extract":
+            raise ValueError("extract in map mode: project the entry to a column and use grok")
+        else:  # pragma: no cover - guarded by AttrAction.__post_init__
+            raise ValueError(f"unknown action {a.action!r}")
+        df = df.withColumn(attrs_col, new_m)
+        m = F.col(attrs_col)
+    return df
+
+
 def span_rename(df: DataFrame, out_col: str, from_attributes: list[str], separator: str = "::") -> DataFrame:
     """Span processor name-from-attributes (processor/spanprocessor/span.go
     ~approx, processFromAttributes): name := join(attr values, sep).  The

@@ -275,6 +275,58 @@ def attr_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "attr_map_suite",
+    """
+    SELECT doc_id,
+           'prod' AS env,
+           source AS tier,
+           sha256(source) AS source_hashed,
+           CAST(CAST(n_chars AS DOUBLE) AS VARCHAR) AS len,
+           false AS lang_present,
+           CAST(4 AS INTEGER) AS n_attrs
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def attr_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 map-typed attraction: the reference's native map<string,AnyValue>
+    reading (attraction.go mutates an AttributeMap).  Builds a genuine
+    map<string,string> attrs column, runs the full action chain via
+    map_concat/map_filter/transform_values, then projects entries out.
+    The oracle states the equivalent final scalars (DuckDB map extract
+    returns lists, so map plumbing stays Spark-side)."""
+    from .operators.attraction import AttrAction, apply_actions_map
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    df = d.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("len"), F.col("n_chars").cast("string"),
+        ).alias("attrs"),
+    )
+    actions = [
+        AttrAction("insert", "env", value="prod"),          # absent → added
+        AttrAction("insert", "lang", value="xx"),           # present → no-op
+        AttrAction("upsert", "tier", from_attribute="source"),
+        AttrAction("hash", "source", value="sha256"),
+        AttrAction("convert", "len", converted_type="double"),
+        AttrAction("delete", "lang"),
+    ]
+    out = apply_actions_map(df, "attrs", actions)
+    m = F.col("attrs")
+    return out.select(
+        "doc_id",
+        F.element_at(m, F.lit("env")).alias("env"),
+        F.element_at(m, F.lit("tier")).alias("tier"),
+        F.element_at(m, F.lit("source")).alias("source_hashed"),
+        F.element_at(m, F.lit("len")).alias("len"),
+        F.map_contains_key(m, F.lit("lang")).alias("lang_present"),
+        F.size(F.map_keys(m)).alias("n_attrs"),
+    )
+
+
+@_q(
     "attr_convert",
     """
     SELECT event_id, CAST(value AS VARCHAR) AS value, CAST(user_id AS DOUBLE) AS user_id

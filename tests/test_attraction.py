@@ -86,3 +86,81 @@ def test_span_rename_skips_on_missing_attr(spark):
     )
     out = {r.id: r.name for r in span_rename(df, "name", ["x", "y"], "::").collect()}
     assert out == {"s1": "a::b", "s2": "old"}
+
+
+# ---------------------------------------------------------------------------
+# map-mode attraction (§2.11): parity with the column-mode action table
+# ---------------------------------------------------------------------------
+
+MAP_ROWS = [
+    ("d1", {"svc": "auth", "env": None, "n": "7"}),
+    ("d2", {"svc": "pay", "env": "stage", "n": "12"}),
+    ("d3", {"svc": None, "n": "3"}),
+]
+MAP_CHAIN = [
+    AttrAction("insert", "env", value="prod"),          # fills d3's absent, not d2's present
+    AttrAction("update", "svc", value="redacted"),      # only where key present
+    AttrAction("upsert", "tier", from_attribute="svc"),
+    AttrAction("hash", "svc", value="sha256"),
+    AttrAction("convert", "n", converted_type="double"),
+    AttrAction("delete", "env"),
+]
+
+
+def _map_mode_result(spark):
+    from opentelemetry_collector_spark.operators.attraction import apply_actions_map
+
+    df = spark.createDataFrame(MAP_ROWS, "id string, attrs map<string,string>")
+    out = apply_actions_map(df, "attrs", MAP_CHAIN)
+    return {r.id: r.attrs for r in out.collect()}
+
+
+def test_map_mode_action_semantics(spark):
+    got = _map_mode_result(spark)
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()  # noqa: E731
+    # insert only filled the truly-absent key (d3); present-but-null (d1)
+    # stays null: map_contains_key is the map reading of "present"
+    assert "env" not in got["d3"] or got["d3"].get("env") is None  # deleted at the end anyway
+    assert all("env" not in m for m in got.values())               # delete ran last
+    # update fires wherever the KEY exists — including d3's null-valued svc
+    # (reference: attraction.go update requires key presence, not a value)
+    assert all(m["svc"] == sha("redacted") for m in got.values())
+    assert got["d1"]["tier"] == "redacted"
+    assert got["d1"]["n"] == "7.0" and got["d2"]["n"] == "12.0"
+
+
+def test_map_mode_matches_column_mode(spark):
+    """Same logical data + same chain through both engines ⇒ same attrs.
+
+    Column-mode 'present' means the column exists for ALL rows, so we use a
+    key set where presence is uniform (the only semantic divergence between
+    a ragged map and rectangular columns is per-row key absence)."""
+    rows = [("d1", "auth", None, "7"), ("d2", "pay", "stage", "12")]
+    cols = spark.createDataFrame(rows, "id string, svc string, env string, n string")
+    chain = [
+        AttrAction("insert", "env", value="prod"),   # fills NULL in column mode
+        AttrAction("update", "svc", value="redacted"),
+        AttrAction("upsert", "tier", from_attribute="svc"),
+        AttrAction("hash", "svc", value="sha256"),
+        AttrAction("convert", "n", converted_type="double"),
+    ]
+    col_out = {
+        r.id: (r.svc, r.env, r.n, r.tier)
+        for r in apply_actions(cols, chain).select("id", "svc", "env", "n", "tier").collect()
+    }
+
+    from opentelemetry_collector_spark.operators.attraction import apply_actions_map
+
+    maps = spark.createDataFrame(
+        [(i, {"svc": s, "env": e, "n": n}) for i, s, e, n in rows],
+        "id string, attrs map<string,string>",
+    )
+    map_out = {r.id: r.attrs for r in apply_actions_map(maps, "attrs", chain).collect()}
+    for rid, (svc, env, n, tier) in col_out.items():
+        m = map_out[rid]
+        # column-mode convert yields a real double; map values stay strings
+        assert m["svc"] == svc and m["n"] == str(n) and m["tier"] == tier
+        # d1: column-mode insert fills NULL; map-mode insert sees the key as
+        # PRESENT (null-valued) and skips — the one documented divergence
+        if rid == "d2":
+            assert m["env"] == env
