@@ -20,11 +20,24 @@ from ..sources.tableio import TableIO
 from .metrics import StageMetrics
 
 
-def group_of(id_col: str, n_groups: int):
-    """Deterministic group assignment: pmod(xxhash64(id), n_groups).
-    Content-addressed (not partition-index-addressed) so the grouping is
-    stable across cluster sizes and re-runs."""
-    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
+def group_of(id_col: str, n_groups: int, mode: str = "native"):
+    """Deterministic group assignment — content-addressed (not
+    partition-index-addressed) so the grouping is stable across cluster
+    sizes and re-runs.
+
+    ``native``   pmod(xxhash64(id), n_groups) — the scale path (JVM intrinsic).
+    ``portable`` Knuth-multiplicative integer arithmetic any engine
+                 recomputes bit-identically (numeric ids only; the inner
+                 pmod keeps the product inside int64 under ANSI mode).
+    """
+    if mode == "native":
+        return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
+    if mode == "portable":
+        return F.pmod(
+            F.pmod(F.col(id_col).cast("bigint"), F.lit(100_003)) * F.lit(2_654_435_761),
+            F.lit(n_groups),
+        )
+    raise ValueError(f"unknown group mode {mode!r}")
 
 
 def run_with_resume(
@@ -37,6 +50,7 @@ def run_with_resume(
     run_id: str = "run0",
     metrics: StageMetrics | None = None,
     fail_after: int | None = None,
+    mode: str = "native",
 ) -> list[str]:
     """Process ``df`` into ``table`` in ``n_groups`` resumable chunks.
 
@@ -46,7 +60,7 @@ def run_with_resume(
     metrics = metrics or StageMetrics(run_id=run_id)
     done = io.committed_groups(table)
     committed: list[str] = []
-    grouped = df.withColumn("_grp", group_of(id_col, n_groups))
+    grouped = df.withColumn("_grp", group_of(id_col, n_groups, mode))
     for g in range(n_groups):
         gid = f"g{g:04d}"
         if gid in done:

@@ -1237,10 +1237,21 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 2).alias("f0"))
 
 
-@_q("resume_ledger", None)  # stateful write path — rows-only check
+@_q(
+    "resume_ledger",
+    """
+    SELECT 'g' || lpad(CAST(((doc_id % 100003) * 2654435761) % 4 AS VARCHAR), 4, '0')
+             AS "group",
+           count(*) AS n_rows
+    FROM documents GROUP BY 1
+    """,
+)
 def resume_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7 resumable commit ledger: write documents in 4 snapshot groups into
-    a scratch table, then read back per-group committed counts."""
+    a scratch table, then read back per-group committed counts.  Uses the
+    ledger's `portable` group hash so DuckDB recomputes the exact group
+    assignment — the round-trip (group → commit → read-back → count) is
+    value-checked, not just rows-counted."""
     import tempfile
 
     from .plans.ledger import run_with_resume
@@ -1248,7 +1259,7 @@ def resume_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     io = ParquetSnapshotIO(root=tempfile.mkdtemp(prefix="ledger_q_"))
     d = _t(spark, sf_dir, "documents")
-    run_with_resume(spark, d, io, "docs", id_col="doc_id", n_groups=4)
+    run_with_resume(spark, d, io, "docs", id_col="doc_id", n_groups=4, mode="portable")
     back = io.read(spark, "docs")
     return back.groupBy("group").agg(F.count(F.lit(1)).alias("n_rows")).orderBy("group")
 
