@@ -56,6 +56,17 @@ def grok_to_regex(pattern: str) -> str:
     return _GROK_TOKEN.sub(sub, pattern)
 
 
+def _ends_with_unescaped_dollar(regex: str) -> bool:
+    if not regex.endswith("$"):
+        return False
+    n = 0
+    i = len(regex) - 2
+    while i >= 0 and regex[i] == "\\":
+        n += 1
+        i -= 1
+    return n % 2 == 0
+
+
 @dataclass
 class GrokPattern:
     """A compiled parse plan: group name → regexp_extract index.
@@ -78,7 +89,10 @@ class GrokPattern:
         # unnamed groups for the JVM and rely on the index map instead.
         self.java_regex = _NAMED_GROUP.sub("(", self.regex)
         # Fully-anchored patterns qualify for the single-pass fast path.
-        self.anchored = self.regex.startswith("^") and self.regex.endswith("$")
+        # A trailing literal '\$' (escaped dollar) is NOT an anchor: count
+        # the backslashes before the final '$' — odd means it's escaped and
+        # the replace-then-split rewrite would silently corrupt tail text.
+        self.anchored = self.regex.startswith("^") and _ends_with_unescaped_dollar(self.regex)
 
     _SEP = "\x01"  # never appears in log text; documented limitation
 

@@ -117,21 +117,24 @@ def run_pipeline(
         if spec.single_pass_fanout and hasattr(io, "append_group_partitioned"):
             # 100 TB path: ONE partitionBy(sink) pass, no cache — every row
             # written exactly once; per-sink manifests keep resume semantics.
-            snaps = metrics.timeit(
+            commit = metrics.timeit(
                 "write:fanout",
                 lambda: io.append_group_partitioned(salted, "sink", sinks, run_id),
             )
-            for s, snap in snaps.items():
+            for s, snap in commit.snapshots.items():
                 metrics.rows.append((run_id, f"commit:{s}", -1, None, None, None, snap))
             # lineage from the WRITTEN data (columnar count readback) — no
-            # second execution of the parse/enrich DAG.
-            written = spark.read.parquet(f"{io.root}/_fanout/data/group={run_id}")
-            for row in (
-                written.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
-            ):
-                metrics.rows.append(
-                    (run_id, f"lineage:{row['sink']}", -1, None, int(row["n"]), None, None)
-                )
+            # second execution of the parse/enrich DAG.  The commit handle
+            # carries the data path (no IO-layout assumptions); a resume
+            # no-op whose data was cleaned away returns None → skip.
+            if commit.data_dir is not None:
+                written = spark.read.parquet(commit.data_dir)
+                for row in (
+                    written.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+                ):
+                    metrics.rows.append(
+                        (run_id, f"lineage:{row['sink']}", -1, None, int(row["n"]), None, None)
+                    )
         else:
             # fallback (non-partitioned IO): bounded-memory DISK_ONLY cache +
             # per-sink filtered writes — never MEMORY-pressure the executors

@@ -811,6 +811,31 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", js.alias("json"))
 
 
+@_q(
+    "sink_debug",
+    """
+    SELECT doc_id,
+           CAST(to_json(struct_pack(doc_id := doc_id, source := source,
+                                    lang := lang, n_chars := n_chars)) AS VARCHAR) AS rendered
+    FROM documents ORDER BY doc_id LIMIT 20
+    """,
+)
+def sink_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 logging/debug exporter: deterministic head-n sample rendered as
+    JSON (exporter/loggingexporter's pushTraceData → tracesToString analog).
+    Spark's to_json(struct) and DuckDB's to_json(struct_pack) agree
+    byte-for-byte on these field types (verified)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.orderBy("doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.to_json(F.struct("doc_id", "source", "lang", "n_chars")).alias("rendered"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline extensions: text stats, dedup, similarity, multimodal
 # --------------------------------------------------------------------------

@@ -30,6 +30,20 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+@dataclass
+class FanoutCommit:
+    """Result of a single-pass partitioned fan-out commit.
+
+    ``data_dir`` is the partitioned write's own directory (or None when a
+    resume no-op found the data cleaned away) so callers read lineage back
+    through the returned handle instead of assuming this IO's private
+    layout."""
+
+    snapshots: dict[str, str]
+    data_dir: str | None
 
 
 class TableIO:
@@ -77,7 +91,12 @@ class ParquetSnapshotIO(TableIO):
         tmp = manifest + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"snapshot_id": snapshot_id, "group_id": group_id, "committed_at": time.time()},
+                {
+                    "snapshot_id": snapshot_id,
+                    "group_id": group_id,
+                    "committed_at": time.time(),
+                    "schema": df.schema.json(),
+                },
                 f,
             )
         os.replace(tmp, manifest)  # atomic rename = the commit point
@@ -91,7 +110,7 @@ class ParquetSnapshotIO(TableIO):
 
     def append_group_partitioned(
         self, df: DataFrame, part_col: str, tables: list[str], group_id: str
-    ) -> dict[str, str]:
+    ) -> FanoutCommit:
         """Single-pass fan-out: ONE ``partitionBy(part_col)`` write of the
         whole routed frame, then one commit marker per sink table pointing at
         its partition subdirectory.
@@ -110,7 +129,7 @@ class ParquetSnapshotIO(TableIO):
             for t in tables:
                 with open(os.path.join(self._tdir(t), "_snapshots", f"{group_id}.json")) as f:
                     out[t] = json.load(f)["snapshot_id"]
-            return out
+            return FanoutCommit(out, data_dir if os.path.isdir(data_dir) else None)
         df.write.mode("overwrite").partitionBy(part_col).parquet(data_dir)
         out = {}
         for t in tables:
@@ -127,12 +146,13 @@ class ParquetSnapshotIO(TableIO):
                         "committed_at": time.time(),
                         "external_base": fan_base,
                         "external_path": os.path.join(data_dir, f"{part_col}={t}"),
+                        "schema": df.schema.json(),
                     },
                     f,
                 )
             os.replace(tmp, manifest)
             out[t] = snapshot_id
-        return out
+        return FanoutCommit(out, data_dir)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """Read only committed groups (manifest-gated visibility); groups may
@@ -142,9 +162,11 @@ class ParquetSnapshotIO(TableIO):
             raise FileNotFoundError(f"table {table!r} has no committed snapshots")
         plain: list[str] = []
         ext: dict[str, list[str]] = {}
+        schema_json: str | None = None
         for g in committed:
             with open(os.path.join(self._tdir(table), "_snapshots", f"{g}.json")) as f:
                 m = json.load(f)
+            schema_json = m.get("schema", schema_json)
             if "external_path" in m:
                 # empty sinks write no partition subdir — skip missing dirs
                 if os.path.isdir(m["external_path"]):
@@ -161,7 +183,15 @@ class ParquetSnapshotIO(TableIO):
         for base, paths in ext.items():
             frames.append(spark.read.option("basePath", base).parquet(*paths))
         if not frames:
-            raise FileNotFoundError(f"table {table!r}: all committed groups empty")
+            # A committed-but-empty table (e.g. a quiet sink_errors on a clean
+            # run) is legitimate: return an empty frame with the schema the
+            # commit recorded, plus the partition column reads re-add.
+            if schema_json is None:
+                raise FileNotFoundError(f"table {table!r}: all committed groups empty")
+            schema = StructType.fromJson(json.loads(schema_json))
+            if "group" not in schema.fieldNames():
+                schema = StructType(list(schema.fields) + [StructField("group", StringType())])
+            return spark.createDataFrame([], schema)
         out = frames[0]
         for fdf in frames[1:]:
             out = out.unionByName(fdf, allowMissingColumns=True)

@@ -72,24 +72,26 @@ def run_stream_pipeline(
 ) -> StreamingQuery:
     """Streaming parse→enrich→route→fanout with exactly-once file sinks.
 
-    ``foreachBatch`` reuses the batch operators verbatim; the checkpoint dir
-    gives at-least-once micro-batch replay and the per-sink parquet append is
-    made effectively exactly-once by Spark's batchId-keyed commit log —
-    the streaming mirror of plans/ledger's snapshot resume.
+    ``foreachBatch`` reuses the batch operators verbatim, and the write is
+    the SAME single-pass manifest-gated fanout as the batch path
+    (``ParquetSnapshotIO.append_group_partitioned`` with a batchId-keyed
+    group): one ``partitionBy(sink)`` pass per micro-batch, no cache, no
+    per-sink re-scan.  Exactly-once holds through crash-replay because the
+    group commit is idempotent — a replayed batch whose sinks all committed
+    is a no-op, and a partially-committed batch overwrites its own
+    (manifest-invisible) data dir before re-laying markers.  Read the sinks
+    back via ``ParquetSnapshotIO(root=sink_root).read(spark, sink)``.
     """
+    from ..sources.tableio import ParquetSnapshotIO
+
     stream = read_stream_sequences(spark, input_dir, schema)
+    io = ParquetSnapshotIO(root=sink_root)
+    sinks = [r.sink for r in routes]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         enriched = broadcast_enrich(batch_df, lookup, on="source", defaults={"env": "unknown"})
-        tagged = route_tag(enriched, routes).persist()
-        for r in sorted(routes, key=lambda x: x.priority):
-            (
-                tagged.filter(F.col("sink") == r.sink)
-                .drop("sink")
-                .write.mode("append")
-                .parquet(f"{sink_root}/{r.sink}")
-            )
-        tagged.unpersist()
+        tagged = route_tag(enriched, routes)
+        io.append_group_partitioned(tagged, "sink", sinks, f"batch{batch_id:08d}")
 
     w = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -74,3 +74,26 @@ def test_udf_fallback_batch():
     out = fn(pd.Series(["A1", "B2z", "nope"]))
     assert list(out["x"]) == ["1", "2", None]
     assert list(out["y"]) == [None, "z", None]
+
+
+def test_escaped_dollar_is_not_an_anchor(spark):
+    """'\\$' at pattern end is a literal dollar, not an anchor: the pattern
+    must take the per-group regexp_extract slow path, and trailing text
+    after the match must not leak into the last field (ADVICE r1)."""
+    from opentelemetry_collector_spark.functions.grok import GrokPattern
+
+    p = GrokPattern(r"^price=(?P<n>\d+) cur=(?P<c>\w+)\$")
+    assert not p.anchored  # ≥2 groups, so only the anchor check keeps it out
+    df = spark.createDataFrame(
+        [("price=42 cur=usd$ trailing junk",), ("price=7 cur=eur$",)], "raw string"
+    )
+    out = df.select(*p.columns(F.col("raw")).values()).collect()
+    assert [(r.n, r.c) for r in out] == [("42", "usd"), ("7", "eur")]
+
+
+def test_doubly_escaped_dollar_is_an_anchor(spark):
+    r"""'\\\\$' is literal-backslash + anchor — fast path stays eligible."""
+    from opentelemetry_collector_spark.functions.grok import GrokPattern
+
+    p = GrokPattern("^a=(?P<a>\\d+) b=(?P<b>\\w+)\\\\$")
+    assert p.anchored

@@ -170,3 +170,52 @@ def test_partitioned_fanout_resume_after_partial_commit(spark, tmp_path):
     run_pipeline(spark, tel, gen_lookup(spark), io=io, run_id="r1")
     ids2 = {s: sorted(io.committed_groups(s)) for s in ("sink_hot", "sink_warm")}
     assert ids1 == ids2
+
+
+def test_committed_but_empty_sink_reads_as_empty_frame(spark, tmp_path):
+    """A sink whose route matched ZERO rows still commits a manifest but
+    writes no partition dir; read() must return an empty typed frame, not
+    crash (ADVICE r1: sink_errors on a clean run)."""
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+    io = ParquetSnapshotIO(str(tmp_path / "sinks"))
+    spec = PipelineSpec(
+        routes=[
+            # impossible predicate → sink_never receives nothing
+            __import__("opentelemetry_collector_spark.operators.router", fromlist=["Route"]).Route(
+                "sink_never", "source = 'no_such_source'", 0
+            ),
+            __import__("opentelemetry_collector_spark.operators.router", fromlist=["Route"]).Route(
+                "sink_all", "TRUE", 9
+            ),
+        ]
+    )
+    tel = gen_telemetry(spark, 200, partitions=2)
+    run_pipeline(spark, tel, gen_lookup(spark), spec=spec, io=io, run_id="r1")
+    empty = io.read(spark, "sink_never")
+    assert empty.count() == 0
+    # schema came from the commit manifest: data cols present and typed
+    assert "doc_id" in empty.columns and "sink" in empty.columns
+    assert io.read(spark, "sink_all").count() == 200
+
+
+def test_fanout_commit_handle_carries_data_dir(spark, tmp_path):
+    """append_group_partitioned returns the data path (no private-layout
+    assumptions downstream); resume no-op with cleaned data returns None."""
+    import shutil
+
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+    io = ParquetSnapshotIO(str(tmp_path / "sinks"))
+    tel = gen_telemetry(spark, 100, partitions=2)
+    out = run_pipeline(spark, tel, gen_lookup(spark), io=io, run_id="r1")
+    sinks = ("sink_hot", "sink_warm", "sink_errors", "sink_default")
+    tagged = out["tagged"]
+    commit = io.append_group_partitioned(tagged, "sink", list(sinks), "r1")  # no-op
+    assert commit.data_dir is not None and commit.data_dir.endswith("group=r1")
+    # clean the fanout data, keep manifests → resume no-op reports None
+    shutil.rmtree(commit.data_dir)
+    commit2 = io.append_group_partitioned(tagged, "sink", list(sinks), "r1")
+    assert commit2.data_dir is None and commit2.snapshots.keys() == commit.snapshots.keys()
+    # and the full pipeline resume path survives the cleaned dir (no crash)
+    run_pipeline(spark, tel, gen_lookup(spark), io=io, run_id="r1")

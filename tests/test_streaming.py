@@ -32,6 +32,8 @@ def seq_dir(spark, tmp_path):
 
 
 def test_stream_pipeline_matches_batch(spark, tmp_path, seq_dir):
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
     sink_root = str(tmp_path / "sinks")
     q = run_stream_pipeline(
         spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, str(tmp_path / "ckpt")
@@ -41,8 +43,9 @@ def test_stream_pipeline_matches_batch(spark, tmp_path, seq_dir):
     batch = spark.read.parquet(seq_dir)
     n_hot = batch.filter("source = 'src0'").count()
     n_all = batch.count()
-    hot = spark.read.parquet(f"{sink_root}/sink_hot")
-    dflt = spark.read.parquet(f"{sink_root}/sink_default")
+    io = ParquetSnapshotIO(root=sink_root)
+    hot = io.read(spark, "sink_hot")
+    dflt = io.read(spark, "sink_default")
     assert hot.count() == n_hot
     assert hot.count() + dflt.count() == n_all
     # enrich happened inside the stream: env col present, src0 is prod
@@ -55,6 +58,8 @@ def test_stream_pipeline_matches_batch(spark, tmp_path, seq_dir):
 
 def test_stream_pipeline_restart_is_exactly_once(spark, tmp_path, seq_dir):
     """Re-starting with the same checkpoint must not duplicate sink rows."""
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
     sink_root = str(tmp_path / "sinks")
     ckpt = str(tmp_path / "ckpt")
     run_stream_pipeline(
@@ -65,10 +70,35 @@ def test_stream_pipeline_restart_is_exactly_once(spark, tmp_path, seq_dir):
         spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, ckpt
     ).awaitTermination(120)
     total = spark.read.parquet(seq_dir).count()
-    got = sum(
-        spark.read.parquet(f"{sink_root}/{r.sink}").count() for r in ROUTES
-    )
+    io = ParquetSnapshotIO(root=sink_root)
+    got = sum(io.read(spark, r.sink).count() for r in ROUTES)
     assert got == total
+
+
+def test_stream_pipeline_batch_replay_is_idempotent(spark, tmp_path, seq_dir):
+    """The ADVICE crash-window: a micro-batch whose sink writes completed but
+    whose streaming commit did not gets REPLAYED on restart.  The manifest-
+    gated group commit must absorb the replay without duplicating rows."""
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    sink_root = str(tmp_path / "sinks")
+    run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    io = ParquetSnapshotIO(root=sink_root)
+    before = sum(io.read(spark, r.sink).count() for r in ROUTES)
+    # simulate the replay directly: re-run a committed batch's fanout
+    from opentelemetry_collector_spark.operators.enrich import broadcast_enrich
+    from opentelemetry_collector_spark.operators.router import route_tag
+
+    batch0 = spark.read.parquet(seq_dir)
+    tagged = route_tag(
+        broadcast_enrich(batch0, gen_lookup(spark), on="source", defaults={"env": "unknown"}),
+        ROUTES,
+    )
+    io.append_group_partitioned(tagged, "sink", [r.sink for r in ROUTES], "batch00000000")
+    after = sum(io.read(spark, r.sink).count() for r in ROUTES)
+    assert after == before
 
 
 def test_windowed_sink_counts_event_time(spark, tmp_path):
