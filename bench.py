@@ -46,6 +46,9 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "token_freq_topk",
     "session_window_agg",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "relabel_chain",
 ]
 
 

@@ -240,6 +240,77 @@ def lsh_candidate_recall(
     )
 
 
+def ivf_cell(
+    vec: Column, centroids: list[tuple[int, list[float]]], round_to: int = 6
+) -> Column:
+    """IVF coarse-quantizer cell id: argmax-cosine centroid, computed in ONE
+    narrow projection (no join, no shuffle, no window).
+
+    ``centroids`` is a small driver-side list (config-sized, like a route
+    table) of (cid, vector).  The argmax is an ``array_max`` over
+    struct(cos, -cid) — lexicographic struct ordering gives cos DESC then
+    cid ASC tie-break, and the cosine is rounded so an independent engine
+    (the DuckDB oracle) ranks identically."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+                    / (norm(vec) * F.lit(sum(float(x) ** 2 for x in cvec) ** 0.5)),
+                    round_to,
+                ).alias("cos"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    return (-F.array_max(scored)["negcid"]).cast("int")
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its argmax-cosine
+    centroid cell, then rank only within the query's cell (nprobe=1).
+
+    The Spark shape of a FAISS-IVF flat index: cell assignment is a narrow
+    codegen projection (the centroid table rides inside the expression, no
+    broadcast join needed), the probe is an equi-join on ``cell``, and only
+    (id, vec, norm, cell) rows reach it — candidates shrink ~n/n_centroids.
+    Centroid choice is pluggable (here: caller-provided seeds; production
+    would k-means-refine them — the plumbing is identical)."""
+    cell = ivf_cell(F.col(vec_col), centroids)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn"), cell.alias("cell")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
+            cell.alias("cell"),
+        )
+    )
+    scored = (
+        v.join(q, on="cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("qvec"), F.col(vec_col)) / (F.col("_qn") * F.col("_vn")), 4
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -1084,17 +1084,20 @@ def _lsh_bucket_sql(bits: int = 8, dim: int = 64, plane_offset: int = 0) -> str:
     return " + ".join(terms)
 
 
-def _cos_sql(a: str, b: str, dim: int = 64) -> str:
-    """DuckDB cosine(a.embedding, b.embedding) with the same per-element
-    double cast + left-to-right accumulation as operators.similarity.dot."""
+def _cos_sql(
+    a: str, b: str, dim: int = 64, acol: str = "embedding", bcol: str = "embedding"
+) -> str:
+    """DuckDB cosine(a.acol, b.bcol) with the same per-element double cast +
+    left-to-right accumulation as operators.similarity.dot."""
 
     def d(x: str, y: str) -> str:
         return (
             f"list_sum(list_transform(range(1, {dim}+1), "
-            f"i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
+            f"i -> CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)))"
         )
 
-    return f"{d(a, b)} / (sqrt({d(a, a)}) * sqrt({d(b, b)}))"
+    av, bv = f"{a}.{acol}[i]", f"{b}.{bcol}[i]"
+    return f"{d(av, bv)} / (sqrt({d(av, av)}) * sqrt({d(bv, bv)}))"
 
 
 def _lsh_sigs_sql(bands: int, bits: int, dim: int = 64, src: str = "v") -> str:
@@ -1199,6 +1202,48 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings")
     q = v.filter(F.col("vec_id") < 3)
     return cosine_topk(v, q, k=5)
+
+
+@_q(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROUND({_cos_sql('v', 'c', bcol='cvec')}, 6) AS ccos
+      FROM embeddings v, c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM assign) WHERE rn = 1),
+    vv AS (SELECT v.vec_id, v.embedding, cells.cell
+           FROM embeddings v JOIN cells USING (vec_id)),
+    qq AS (SELECT vec_id AS query_id, embedding AS qvec, cell FROM vv WHERE vec_id < 3),
+    scored AS (
+      SELECT qq.query_id, vv.vec_id AS neighbor_id,
+             ROUND({_cos_sql('qq', 'vv', acol='qvec')}, 4) AS cos
+      FROM vv JOIN qq ON vv.cell = qq.cell AND vv.vec_id <> qq.query_id)
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the other scale path beside sign-LSH): coarse-quantize
+    to argmax-cosine centroid cells in one narrow projection, probe by
+    equi-join on cell, rank within.  Seed centroids = first 16 vectors
+    (deterministic; production would k-means-refine — identical plumbing).
+    The oracle replays assignment + probe + ranking in SQL."""
+    from .operators.similarity import ivf_cosine_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in v.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    q = v.filter(F.col("vec_id") < 3)
+    return ivf_cosine_topk(v, q, centroids, k=5)
 
 
 @_q("ann_lsh_bucketed", None)

@@ -75,3 +75,58 @@ def test_topk_broadcast_plan(spark, vectors):
     q = vectors.filter(F.col("vec_id") < 2)
     plan = cosine_topk(vectors, q, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_cell_assignment_and_topk(spark, vectors):
+    """Every vector lands in its argmax-cosine cell, and within-cell top-k
+    equals brute force restricted to the probed cell."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        ivf_cell,
+        ivf_cosine_topk,
+    )
+
+    cent = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in vectors.filter(F.col("vec_id") < 4).collect()
+    ]
+    cells = {
+        r.vec_id: r.cell
+        for r in vectors.select(
+            "vec_id", ivf_cell(F.col("embedding"), cent, 6).alias("cell")
+        ).collect()
+    }
+    # python-side argmax with the same rounding + cid-asc tiebreak
+    import math as m
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        return round(d / (m.sqrt(sum(float(x) ** 2 for x in a)) * m.sqrt(sum(float(y) ** 2 for y in b))), 6)
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in vectors.collect()}
+    for vid, v in vecs.items():
+        want = max(cent, key=lambda c: (cos(v, c[1]), -c[0]))[0]
+        assert cells[vid] == want, vid
+
+    q = vectors.filter(F.col("vec_id") < 2)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_cosine_topk(vectors, q, cent, k=3).collect()
+    }
+    for qid in (0, 1):
+        cell_members = [v for v in vecs if cells[v] == cells[qid] and v != qid]
+        want = sorted(
+            cell_members, key=lambda n: (-round(cos(vecs[qid], vecs[n]), 4), n)
+        )[:3]
+        assert {(qid, n) for n in want} == {p for p in got if p[0] == qid}
+
+
+def test_ivf_plan_is_equi_join(spark, vectors):
+    from opentelemetry_collector_spark.operators.similarity import ivf_cosine_topk
+
+    cent = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in vectors.filter(F.col("vec_id") < 4).collect()
+    ]
+    q = vectors.filter(F.col("vec_id") < 2)
+    plan = ivf_cosine_topk(vectors, q, cent, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
