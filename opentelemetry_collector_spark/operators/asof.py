@@ -1,0 +1,72 @@
+"""As-of (time-travel) join — engine extension (SURVEY §2.7 noted gap).
+
+The reference has no relational join executor at all; training-data
+pipelines routinely need "attach the latest right-side row at-or-before my
+timestamp, per key" (slowly-changing dims, latest-rate lookup, last-event
+context).  Spark has no ASOF JOIN builtin, so this implements the classic
+union-and-carry plan, which is the scale-safe shape:
+
+  1. union right rows (payload packed in one struct) with left rows,
+  2. ONE shuffle: partitionBy(key) orderBy(ts, side) — right sorts before
+     left at equal ts so `<=` semantics fall out of the frame,
+  3. `last(payload, ignorenulls=True)` over an unbounded-preceding running
+     frame carries the latest right payload forward,
+  4. keep left rows, unpack the struct.
+
+Cost: one shuffle of |L|+|R| rows on the join key — no range explode, no
+per-row binary search, no broadcast requirement.  Skewed keys salt exactly
+like any other keyed shuffle.  The DuckDB oracle uses its native ASOF JOIN,
+so the two engines implement the semantics independently.
+
+The right side must be unique per (key, ts) — dedupe first (e.g.
+``groupBy(key, ts).agg(...)``) or matches at duplicated timestamps are
+nondeterministic in BOTH engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts_col: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: every left row + the right row with the largest
+    ``right.ts <= left.ts`` for the same key(s); right columns come back
+    prefixed.  Unmatched left rows keep NULL right columns."""
+    keys = [on] if isinstance(on, str) else list(on)
+    r_payload = [c for c in right.columns if c not in keys]
+    l_cols = [c for c in left.columns]
+
+    r = right.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*r_payload).alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c not in keys],
+    )
+    l = left.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in l_cols if c not in keys],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        r.unionByName(l)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(c) for c in l_cols]
+    out_cols += [F.col("_match")[c].alias(f"{right_prefix}{c}") for c in r_payload]
+    return carried.select(*out_cols)

@@ -112,6 +112,47 @@ def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_asof",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, ROUND(max(value), 4) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, e.event_type, ROUND(e.value, 4) AS value,
+           c.click_value AS r_click_value
+    FROM events e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts <= e.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension; §2.7 noted gap): attach the most recent
+    at-or-before 'click' value per user to every event.  Spark side is the
+    union-and-carry plan (one shuffle on the key, no range explode); the
+    oracle is DuckDB's native ASOF JOIN — two independent implementations
+    of the semantics."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("click_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "event_type", "value", "ts"),
+        clicks,
+        on="user_id",
+        ts_col="ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "r_click_value",
+    )
+
+
+@_q(
     "relabel_chain",
     r"""
     WITH lab AS (

@@ -1,0 +1,55 @@
+"""As-of join semantics: at-or-before matching, equal-ts inclusion,
+unmatched-left NULLs, per-key isolation (engine extension, SURVEY §2.7)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return f"2024-01-01 00:00:{s:02d}"
+
+
+def test_asof_basic_and_equal_ts(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(5), "a"), ("u1", _ts(10), "b"), ("u1", _ts(2), "c")],
+        "k string, ts_s string, tag string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [("u1", _ts(3), 30), ("u1", _ts(10), 100)],
+        "k string, ts_s string, v int",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    got = {r.tag: r.r_v for r in asof_join(left, right, on="k").collect()}
+    # a@5 -> v@3; b@10 -> v@10 (equal ts INCLUDED, <= semantics); c@2 -> none
+    assert got == {"a": 30, "b": 100, "c": None}
+
+
+def test_asof_keys_are_isolated(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(9)), ("u2", _ts(9))], "k string, ts_s string"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u1", _ts(1), 11)], "k string, ts_s string, v int"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    got = {r.k: r.r_v for r in asof_join(left, right, on="k").collect()}
+    assert got == {"u1": 11, "u2": None}  # u2 never sees u1's rows
+
+
+def test_asof_single_shuffle_plan(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") + 1_700_000_000).alias("ts"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 5 + 1_700_000_000).alias("ts"),
+        (F.col("id") * 10).alias("rv"),
+    )
+    plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
+    # one keyed exchange for the window; no join operator at all (the whole
+    # as-of is union + running last) and certainly no range/nested loop
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
