@@ -130,3 +130,21 @@ def test_ivf_plan_is_equi_join(spark, vectors):
     q = vectors.filter(F.col("vec_id") < 2)
     plan = ivf_cosine_topk(vectors, q, cent, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_arrow_topk_matches_builtin(spark, vectors):
+    """The numpy/mapInPandas wide-vector path returns the same neighbors
+    (and cosines to rounding) as the codegen brute-force path."""
+    from opentelemetry_collector_spark.operators.similarity import cosine_topk_arrow
+
+    q = vectors.filter(F.col("vec_id") < 3)
+    builtin = {
+        (r.query_id, r.neighbor_id): r.cos for r in cosine_topk(vectors, q, k=4).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk_arrow(vectors.repartition(7), q, k=4).collect()
+    }
+    assert set(builtin) == set(arrow)
+    for key in builtin:
+        assert abs(builtin[key] - arrow[key]) < 1e-3
