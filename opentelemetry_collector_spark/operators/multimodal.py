@@ -119,6 +119,64 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_w: int = 128, backend: str = "fake") -> DataFrame:
+    """mapInPandas resize kernel: downscale each blob so width ≤ ``max_w``.
+
+    ``fake`` backend (codecs absent offline) is a stride subsample with
+    PURE INTEGER arithmetic — stride = ceil(W/min(W,max_w)), output width
+    = ceil(W/stride) — so an independent engine recomputes the output
+    metadata exactly; ``real`` is the PIL/ffmpeg seam.  Same executor-side
+    batch contract as decode_and_featurize (blobs never hit the driver)."""
+    if backend == "real":
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "real resize needs PIL/ffmpeg (not in this container); "
+                "plug the codec here — the Spark contract is identical"
+            )
+
+    elif backend == "fake":
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    blob = r.blob or b""
+                    w = int(r.width) if r.width is not None else len(blob)
+                    new_w = max(1, min(w, max_w))
+                    stride = (w + new_w - 1) // new_w if w else 1
+                    out = bytes(blob[::stride])
+                    rows.append(
+                        (
+                            r.media_id,
+                            r.kind,
+                            (w + stride - 1) // stride if w else 0,
+                            int(r.height) if r.height is not None else 1,
+                            len(out),
+                            out,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "width", "height", "n_bytes", "blob"]
+                )
+
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only pass (no decode): per-kind size stats — shows column
     pruning, the blob column is never read when parquet-backed."""

@@ -1349,6 +1349,28 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mm_resize",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST((W + stride - 1) // stride AS INTEGER) AS width,
+           CAST((W + stride - 1) // stride AS BIGINT) AS n_bytes
+    FROM (
+      SELECT doc_id, W,
+             (W + least(W, 128) - 1) // least(W, 128) AS stride
+      FROM (SELECT doc_id, octet_length(encode(text)) AS W FROM documents))
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: mapInPandas stride-downscale to ≤128
+    wide.  The fake kernel is pure integer arithmetic so the oracle
+    recomputes output width/byte-count exactly (real codec = seam)."""
+    from .operators.multimodal import resize_media, text_as_media
+
+    media = text_as_media(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return resize_media(media, max_w=128).select("media_id", "width", "n_bytes")
+
+
+@_q(
     "resume_ledger",
     """
     SELECT 'g' || lpad(CAST(((doc_id % 100003) * 2654435761) % 4 AS VARCHAR), 4, '0')

@@ -53,3 +53,25 @@ def test_metadata_stats(media):
     row = media_metadata_stats(media).collect()[0]
     assert row.kind == "image" and row.n_media == 2
     assert row.total_bytes == len("hello world") + 80
+
+
+def test_resize_fake_backend_integer_exact(spark):
+    from opentelemetry_collector_spark.operators.multimodal import resize_media, text_as_media
+
+    df = spark.createDataFrame(
+        [("1", "x" * 300), ("2", "y" * 100), ("3", "z")], "id string, body string"
+    )
+    media = text_as_media(df, "id", "body")
+    got = {r.media_id: (r.width, r.n_bytes, r.blob) for r in resize_media(media, max_w=128).collect()}
+    # W=300: stride=ceil(300/128)=3 -> 100 bytes; W=100<=128: stride 1
+    assert got["1"][0] == 100 and got["1"][1] == 100 and got["1"][2] == b"x" * 100
+    assert got["2"][0] == 100 and got["2"][2] == b"y" * 100
+    assert got["3"][0] == 1
+
+
+def test_resize_real_backend_is_honest_seam(spark):
+    from opentelemetry_collector_spark.operators.multimodal import resize_media, text_as_media
+
+    df = spark.createDataFrame([("1", "abc")], "id string, body string")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        resize_media(text_as_media(df, "id", "body"), backend="real").collect()
