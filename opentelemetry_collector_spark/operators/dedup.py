@@ -156,6 +156,34 @@ def ngram_jaccard_pairs(
     return j.select("id_a", "id_b", "jaccard")
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    mode: str = "raw",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """The full dedup ladder composed end-to-end (the corpus-clean pass):
+
+    1. exact dedup — keep the min-id canonical of every byte-identical group;
+    2. near-dup prune — among the canonicals, drop every doc that has an
+       n-gram-Jaccard ≥ τ near-dup with a SMALLER id (greedy one-pass rule:
+       deterministic and join-expressible; a full union-find transitive
+       closure is iterative and deliberately out of scope).
+
+    At 100 TB pass ``candidates=lsh_candidate_pairs(...)`` so step 2 only
+    verifies LSH survivors; without it the verify self-joins on shingles
+    (exact, used by the correctness gate at small SF)."""
+    survivors = dedup_keep_canonical(df, id_col, text_col)
+    pairs = ngram_jaccard_pairs(
+        survivors, id_col, text_col, threshold=jaccard_threshold, mode=mode,
+        candidates=candidates,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return survivors.join(drops, on=id_col, how="left_anti")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """(id, simhash): b-bit majority signature over portable word codes.
     Near-dups differ in ≤3 bits; pair lookup = bit_count(xor) ≤ r.

@@ -11,6 +11,8 @@ would win, but at 64-dim the codegen path is faster than Arrow round-trips.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -135,6 +137,22 @@ def hyperplane_sign(i: int, j: int) -> int:
     return 1 if ((i * 1_000_003 + j * 7_919) % 97) < 48 else -1
 
 
+@lru_cache(maxsize=None)
+def _planes_lit(dim: int, n_planes: int) -> Column:
+    """array<array<double>> literal of the first ``n_planes`` hyperplanes.
+    numpy-1D literals convert ~4× faster than python lists through py4j,
+    and the lru_cache means any (dim, planes) config pays the driver-side
+    build exactly once per process."""
+    import numpy as np
+
+    return F.array(
+        *[
+            F.lit(np.array([float(hyperplane_sign(i, j)) for i in range(dim)]))
+            for j in range(n_planes)
+        ]
+    )
+
+
 def lsh_bucket(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -> Column:
     """Random-hyperplane LSH bucket id: bit r = sign(⟨vec, plane_{offset+r}⟩).
     ``plane_offset`` lets banded callers draw disjoint plane sets per band."""
@@ -209,19 +227,32 @@ def lsh_band_signatures(
     """(id, band, sig) — one row per (vector, band); band b hashes planes
     b·bits … b·bits+bits−1.  Same banding contract as minhash LSH
     (SURVEY §2.13a): a pair is a candidate iff it matches some band exactly.
-    Only (id, band, sig) leaves this projection — vectors never shuffle."""
+    Only (id, band, sig) leaves this projection — vectors never shuffle.
+
+    Plan-size note: the plane matrix is one memoized array-of-arrays
+    literal evaluated by one `transform` lambda, and the per-band
+    signatures read the staged projection column — 32 separate aggregate
+    trees (each dragging its own 64-literal array) made driver-side Column
+    construction + Catalyst analysis the dominant cost (~3 s fixed per
+    query, independent of data size); this form builds once per process
+    (lru_cache — Columns are plain reusable expressions) with
+    bit-identical results."""
+    planes = _planes_lit(dim, bands * bits)
+    proj = F.transform(planes, lambda p: dot(F.col(vec_col), p))
+    staged = vectors.select(F.col(id_col), proj.alias("_proj"))
+
+    def band_sig(b: int) -> Column:
+        sig = F.lit(0)
+        for r in range(bits):
+            hit = F.element_at(F.col("_proj"), b * bits + r + 1) > 0
+            sig = sig + F.when(hit, F.lit(1 << r)).otherwise(F.lit(0))
+        return sig.cast("int")
+
     sigs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_bucket(F.col(vec_col), dim, bits, plane_offset=b * bits).alias("sig"),
-            )
-            for b in range(bands)
-        ]
+        *[F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig")) for b in range(bands)]
     )
-    return (
-        vectors.select(F.col(id_col), F.explode(sigs).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    return staged.select(F.col(id_col), F.explode(sigs).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 

@@ -1028,6 +1028,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_corpus_keep",
+    """
+    WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    docs AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN canon USING (doc_id)),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2])) AS h
+      FROM docs),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    drops AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5)
+    SELECT doc_id, source FROM docs WHERE doc_id NOT IN (SELECT id_b FROM drops)
+    """,
+)
+def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-clean pass: exact dedup (min-id canonical) then
+    greedy near-dup prune at Jaccard ≥ 0.5 (smaller id wins).  The gate
+    runs the exact verify; at scale the same function takes LSH candidates
+    (operators.dedup.dedup_corpus docstring)."""
+    from .operators.dedup import dedup_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_corpus(d, "doc_id", "text", jaccard_threshold=0.5, mode="raw").select(
+        "doc_id", "source"
+    )
+
+
+@_q(
     "dedup_simhash",
     None,  # filled below (SQL generated per bit)
 )
@@ -1055,7 +1092,8 @@ ORACLES["dedup_simhash"] = f"""
 # pigeonhole-exact at hamming ≤ 3, so the simple O(n²) SQL (fine at sf0.01)
 # must produce the identical pair set.
 ORACLES["dedup_simhash_pairs"] = f"""
-    WITH words AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents),
+    WITH words AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents
+                   WHERE doc_id < 2000),
     sig AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM words)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
@@ -1072,10 +1110,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, scale path: 4 bands × 4 bits, equi-join on
     (band, block) — pigeonhole-exact for hamming ≤ 3, so the all-pairs
     oracle SQL checks the banded plan loses nothing (and the plan test
-    checks it never nested-loops)."""
+    checks it never nested-loops).  Input capped like the other pair keys:
+    this synthetic corpus is so self-similar that ~27 % of ALL pairs sit
+    within hamming 3 of a 16-bit signature, so the OUTPUT is inherently
+    quadratic at full sf0.1 — the cap keeps the gate about plan shape, not
+    about materializing millions of true pairs."""
     from .operators.dedup import simhash, simhash_banded_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     sig = simhash(d, "doc_id", "text", bits=16)
     return simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=3)
 
