@@ -124,3 +124,45 @@ def test_salted_repartition_spreads_skew(spark):
     # src0 alone is ~34% of rows; unsalted it would pin one partition at
     # >6800 rows. Salting must keep the max partition under 2x the mean.
     assert sizes["mx"] < 2 * (20000 / 16)
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketed co-located join: both sides written bucketBy(8, key) →
+    the equi-join plan has ZERO Exchange operators (the shuffle happened
+    once at write time).  This is the §4 'bucketing for co-located joins'
+    claim, asserted."""
+    from opentelemetry_collector_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .selectExpr("l_orderkey AS k", "l_quantity")
+    )
+    od = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .selectExpr("o_orderkey AS k", "o_totalprice")
+    )
+    write_bucketed(li, "t_li_bucketed", "k", n_buckets=8)
+    write_bucketed(od, "t_od_bucketed", "k", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "t_li_bucketed").join(
+            read_bucketed(spark, "t_od_bucketed"), "k"
+        )
+        plan = explain(j, "simple")
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        # sanity: the join still computes the right row count
+        expect = (
+            spark.read.parquet(f"{SF}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{SF}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_od_bucketed")
