@@ -188,29 +188,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     """(id, simhash): b-bit majority signature over portable word codes.
     Near-dups differ in ≤3 bits; pair lookup = bit_count(xor) ≤ r.
 
-    The word codes are STAGED behind a projection before the per-bit
-    aggregates: higher-order functions block subexpression elimination, so
-    referencing the codes expression 17 times would recompute the word
-    hashing 17× per row (measured 2.4× slower end-to-end).  CollapseProject
-    keeps the boundary because the staged expression is non-cheap and
-    multiply-referenced."""
+    The word codes are STAGED behind a projection (higher-order functions
+    block subexpression elimination — recomputing the word hashing per
+    reference measured 2.4× slower), and the per-bit ones-counts come from
+    ONE aggregate pass building an array<long>[bits] accumulator via
+    zip_with against a powers-of-two array (b separate aggregates, each
+    re-traversing the codes, measured 1.35× slower; shiftright needs a
+    literal shift so the bit test is floor(c/2^b) mod 2 — exact for codes
+    < 2^30 ≪ 2^53)."""
     df = df.select(F.col(id_col), word_codes(F.col(text_col)).alias("_codes"))
     codes = F.col("_codes")
-    nwords = F.size(codes)
-
-    def bit_adder(b: int):
-        # NB: PySpark higher-order lambdas must take exactly the declared
-        # Column params (no default args) — close over b via factory.
-        return lambda acc, c: acc + F.shiftright(c, b).bitwiseAND(F.lit(1))
-
-    bit_cols = []
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    counts = F.aggregate(
+        codes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, c: F.zip_with(
+            acc, powers, lambda a, p: a + F.pmod(F.floor(c / p).cast("long"), F.lit(2))
+        ),
+    )
+    staged = df.select(F.col(id_col), F.size(codes).alias("_n"), counts.alias("_cnt"))
+    total = None
     for b in range(bits):
-        ones = F.aggregate(codes, F.lit(0).cast("long"), bit_adder(b))
-        bit_cols.append(F.when(ones * 2 > nwords.cast("long"), F.lit(1 << b)).otherwise(F.lit(0)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return df.select(F.col(id_col).alias("id"), total.cast("long").alias("simhash"))
+        col = F.when(
+            F.element_at(F.col("_cnt"), b + 1) * 2 > F.col("_n").cast("long"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+        total = col if total is None else total + col
+    return staged.select(F.col(id_col).alias("id"), total.cast("long").alias("simhash"))
 
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
