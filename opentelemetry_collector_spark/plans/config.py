@@ -27,6 +27,8 @@ from __future__ import annotations
 import yaml
 
 from ..functions.grok import GrokPattern
+from ..operators.attraction import AttrAction
+from ..operators.relabel import RelabelRule
 from ..operators.router import Route
 from .pipeline import PipelineSpec
 
@@ -69,6 +71,44 @@ def spec_from_yaml(text: str) -> PipelineSpec:
             kwargs[key] = p[key]
     if "lookup_defaults" in p:
         kwargs["lookup_defaults"] = dict(p["lookup_defaults"])
+    if "attributes" in p:
+        # attributesprocessor config analog: ordered action list
+        actions = []
+        for a in p["attributes"] or []:
+            if "action" not in a or "key" not in a:
+                raise ConfigError("attributes entry requires 'action' and 'key'")
+            try:
+                actions.append(
+                    AttrAction(
+                        a["action"],
+                        a["key"],
+                        value=a.get("value"),
+                        from_attribute=a.get("from_attribute"),
+                        pattern=a.get("pattern"),
+                        converted_type=a.get("converted_type"),
+                        types=dict(a.get("types") or {}),
+                    )
+                )
+            except ValueError as e:
+                raise ConfigError(str(e)) from e
+        kwargs["attr_actions"] = actions
+    if "relabel" in p:
+        # prometheus relabel_configs analog: ordered rule list
+        rules = []
+        for r in p["relabel"] or []:
+            if "action" not in r:
+                raise ConfigError("relabel entry requires 'action'")
+            rules.append(
+                RelabelRule(
+                    action=r["action"],
+                    source_labels=tuple(r.get("source_labels") or ()),
+                    separator=r.get("separator", ";"),
+                    regex=r.get("regex", "(.*)"),
+                    target_label=r.get("target_label"),
+                    replacement=r.get("replacement", "$1"),
+                )
+            )
+        kwargs["relabel"] = rules
     return PipelineSpec(**kwargs)
 
 
@@ -89,4 +129,37 @@ def spec_to_yaml(spec: PipelineSpec) -> str:
             "lookup_defaults": dict(spec.lookup_defaults),
         }
     }
+    if spec.attr_actions:
+        doc["pipeline"]["attributes"] = [
+            {
+                k: v
+                for k, v in {
+                    "action": a.action,
+                    "key": a.key,
+                    "value": a.value,
+                    "from_attribute": a.from_attribute,
+                    "pattern": a.pattern,
+                    "converted_type": a.converted_type,
+                    "types": dict(a.types) or None,
+                }.items()
+                if v is not None
+            }
+            for a in spec.attr_actions
+        ]
+    if spec.relabel:
+        doc["pipeline"]["relabel"] = [
+            {
+                k: v
+                for k, v in {
+                    "action": r.action,
+                    "source_labels": list(r.source_labels) or None,
+                    "separator": r.separator if r.separator != ";" else None,
+                    "regex": r.regex,
+                    "target_label": r.target_label,
+                    "replacement": r.replacement if r.replacement != "$1" else None,
+                }.items()
+                if v is not None
+            }
+            for r in spec.relabel
+        ]
     return yaml.safe_dump(doc, sort_keys=False)

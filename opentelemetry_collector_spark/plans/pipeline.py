@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.grok import GrokPattern
 from ..functions.hashing import salted_key
 from ..operators.aggregates import counts_by_sink, counts_by_source
+from ..operators.attraction import AttrAction, apply_actions
 from ..operators.enrich import broadcast_enrich
+from ..operators.relabel import RelabelRule, apply_relabel
 from ..operators.router import Route, route_tag
 from ..sources.tableio import TableIO
 from .metrics import StageMetrics
@@ -59,6 +61,10 @@ class PipelineSpec:
     size_col: str = "n_tok"
     salt_buckets: int = 32
     lookup_defaults: dict[str, object] = field(default_factory=lambda: {"env": "unknown"})
+    # optional processor chains, executed in collector order after parse:
+    # relabel (receiver-side relabel_configs) then attributes (attraction)
+    relabel: list[RelabelRule] = field(default_factory=list)
+    attr_actions: list[AttrAction] = field(default_factory=list)
     # ONE partitionBy(sink) write instead of cache + N filtered writes —
     # the only mode that holds at 10^12 rows (no full-dataset cache copy).
     single_pass_fanout: bool = True
@@ -87,6 +93,13 @@ def run_pipeline(
         parsed = records.select("*", *spec.grok.columns(F.col(spec.raw_col)).values())
     else:
         parsed = records
+
+    # --- optional processor chains (collector order: relabel → attributes);
+    # both compile to pure column expressions, so the stage stays narrow ---
+    if spec.relabel:
+        parsed = apply_relabel(parsed, spec.relabel)
+    if spec.attr_actions:
+        parsed = apply_actions(parsed, spec.attr_actions)
 
     # --- enrich (resource processor analog; broadcast hash join) ----------
     enriched = broadcast_enrich(parsed, lookup, on=spec.source_col, defaults=spec.lookup_defaults)

@@ -146,3 +146,55 @@ def test_yaml_spec_drives_pipeline(spark):
     assert sinks == {"sink_hot", "sink_default"}
     total = sum(r["n_rows"] for r in out["sink_counts"].collect())
     assert total == 500
+
+
+YAML_CHAINS = """
+pipeline:
+  raw_col: raw
+  routes:
+    - {sink: sink_hot,     predicate: "source = 'src0'", priority: 0}
+    - {sink: sink_default, predicate: "TRUE",            priority: 9}
+  attributes:
+    - {action: upsert, key: env2, value: prod}
+    - {action: hash, key: svc_name, value: sha256}
+    - {action: delete, key: tmp}
+  relabel:
+    - {action: replace, source_labels: [source], regex: "src(.*)",
+       target_label: src_num, replacement: "n$1"}
+    - {action: drop, source_labels: [source], regex: "src9"}
+"""
+
+
+def test_yaml_processor_chains_roundtrip():
+    spec = spec_from_yaml(YAML_CHAINS)
+    assert [a.action for a in spec.attr_actions] == ["upsert", "hash", "delete"]
+    assert [r.action for r in spec.relabel] == ["replace", "drop"]
+    spec2 = spec_from_yaml(spec_to_yaml(spec))
+    assert spec2.attr_actions == spec.attr_actions
+    assert spec2.relabel == spec.relabel
+
+
+def test_yaml_rejects_unknown_attraction_action():
+    bad = YAML_CHAINS.replace("action: upsert", "action: frobnicate")
+    with pytest.raises(ConfigError):
+        spec_from_yaml(bad)
+
+
+def test_pipeline_runs_yaml_declared_chains(spark):
+    """The collector config story end-to-end: relabel + attraction declared
+    in YAML, executed in-order inside the flagship pipeline."""
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+    spec = spec_from_yaml(YAML_CHAINS)
+    tel = gen_telemetry(spark, 500, partitions=2).withColumn(
+        "svc_name", F.lit("payments")
+    ).withColumn("tmp", F.lit("x"))
+    out = run_pipeline(spark, tel, gen_lookup(spark), spec=spec)
+    tagged = out["tagged"]
+    assert "tmp" not in tagged.columns                       # delete ran
+    row = tagged.filter("source = 'src0'").select("env2", "svc_name", "src_num").first()
+    assert row["env2"] == "prod"
+    assert row["svc_name"] == __import__("hashlib").sha256(b"payments").hexdigest()
+    assert row["src_num"] == "n0"                            # relabel backref
+    assert tagged.filter("source = 'src9'").count() == 0     # relabel drop ran
