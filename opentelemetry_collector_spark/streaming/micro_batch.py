@@ -69,6 +69,7 @@ def run_stream_pipeline(
     checkpoint_dir: str,
     schema: StructType | str = SEQUENCES_DDL,
     available_now: bool = True,
+    spec=None,  # optional PipelineSpec: relabel/attr_actions chains
 ) -> StreamingQuery:
     """Streaming parse→enrich→route→fanout with exactly-once file sinks.
 
@@ -89,7 +90,19 @@ def run_stream_pipeline(
     sinks = [r.sink for r in routes]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        enriched = broadcast_enrich(batch_df, lookup, on="source", defaults={"env": "unknown"})
+        df = batch_df
+        if spec is not None:
+            # same optional processor chains as the batch path (collector
+            # order: relabel → attributes), same column-expression compile
+            if spec.relabel:
+                from ..operators.relabel import apply_relabel
+
+                df = apply_relabel(df, spec.relabel)
+            if spec.attr_actions:
+                from ..operators.attraction import apply_actions
+
+                df = apply_actions(df, spec.attr_actions)
+        enriched = broadcast_enrich(df, lookup, on="source", defaults={"env": "unknown"})
         tagged = route_tag(enriched, routes)
         io.append_group_partitioned(tagged, "sink", sinks, f"batch{batch_id:08d}")
 

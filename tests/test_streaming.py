@@ -290,3 +290,32 @@ def test_streaming_tail_sampler_decision_wait(spark, tmp_path):
     # t1 emitted WHOLE (both spans, including the pre-error INFO one); t2
     # dropped (no ERROR); t3 still buffered (never timed out)
     assert got == {("t1", "s1"), ("t1", "s2")}
+
+
+def test_stream_applies_spec_chains(spark, tmp_path, seq_dir):
+    """YAML-declared relabel/attraction chains run identically inside each
+    micro-batch (batch/stream parity for the collector's processor config)."""
+    from opentelemetry_collector_spark.plans.config import spec_from_yaml
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    spec = spec_from_yaml(
+        """
+pipeline:
+  routes:
+    - {sink: sink_hot,     predicate: "source = 'src0'", priority: 0}
+    - {sink: sink_default, predicate: "TRUE",            priority: 9}
+  attributes:
+    - {action: upsert, key: pipe, value: streamed}
+  relabel:
+    - {action: replace, source_labels: [source], regex: "src(.*)",
+       target_label: src_num, replacement: "n$1"}
+"""
+    )
+    sink_root = str(tmp_path / "sinks")
+    run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root,
+        str(tmp_path / "ckpt"), spec=spec,
+    ).awaitTermination(120)
+    hot = ParquetSnapshotIO(root=sink_root).read(spark, "sink_hot")
+    row = hot.select("pipe", "src_num").first()
+    assert row["pipe"] == "streamed" and row["src_num"] == "n0"
