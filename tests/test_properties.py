@@ -1,0 +1,121 @@
+"""Property-based parity tests (hypothesis) — the engine's analog of the
+reference's PICT combinatorial golden data (SURVEY §5): instead of a fixed
+permutation file, hypothesis drives randomized inputs through two
+independent implementations of the same semantics and asserts equality.
+
+Kept deliberately small (bounded examples, shared session) — these are
+semantic guards, not load tests.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# ---------------------------------------------------------------------------
+# as-of join vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),       # key
+        st.integers(min_value=0, max_value=50),    # ts (seconds offset)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(left=_asof_rows, right=_asof_rows)
+@SETTINGS
+def test_asof_join_matches_python_reference(spark, left, right):
+    from opentelemetry_collector_spark.operators.asof import asof_join
+
+    # dedupe right per (key, ts) — the documented precondition
+    rmap = {}
+    for i, (k, ts) in enumerate(right):
+        rmap[(k, ts)] = i * 10
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid int, k string, ts_i int"
+    ).select("lid", "k", F.timestamp_seconds(F.col("ts_i") + 1_700_000_000).alias("ts"))
+    rdf = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in rmap.items()], "k string, ts_i int, v int"
+    ).select("k", F.timestamp_seconds(F.col("ts_i") + 1_700_000_000).alias("ts"), "v")
+
+    got = {r.lid: r.r_v for r in asof_join(ldf, rdf, on="k", ts_col="ts").collect()}
+
+    def ref(k, ts):
+        cands = [(rts, v) for (rk, rts), v in rmap.items() if rk == k and rts <= ts]
+        return max(cands)[1] if cands else None
+
+    want = {i: ref(k, ts) for i, (k, ts) in enumerate(left)}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# grok fast path (replace-then-split) vs slow path (per-group regexp_extract)
+# ---------------------------------------------------------------------------
+
+_line_words = st.lists(
+    st.text(alphabet="abcdef123", min_size=1, max_size=6), min_size=0, max_size=4
+)
+
+
+@given(
+    ks=st.lists(st.integers(min_value=0, max_value=999), min_size=1, max_size=12),
+    junk=_line_words,
+)
+@SETTINGS
+def test_grok_fast_and_slow_paths_agree(spark, ks, junk):
+    from opentelemetry_collector_spark.functions.grok import GrokPattern
+
+    pat = r"^lvl=(?P<lvl>[A-Z]+) k=%{INT:k} msg=(?P<msg>[a-z0-9 ]*)$"
+    rows = []
+    for i, k in enumerate(ks):
+        if i % 3 == 2:
+            rows.append((f"garbage {' '.join(junk)}",))          # non-matching
+        else:
+            rows.append((f"lvl=INFO k={k} msg={' '.join(junk)}",))
+    df = spark.createDataFrame(rows, "raw string")
+
+    fast = GrokPattern(pat, types={"k": "int"})
+    assert fast.anchored
+    slow = GrokPattern(pat, types={"k": "int"})
+    slow.anchored = False  # force the per-group regexp_extract path
+
+    a = [tuple(r) for r in df.select(*fast.columns(F.col("raw")).values()).collect()]
+    b = [tuple(r) for r in df.select(*slow.columns(F.col("raw")).values()).collect()]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# banded simhash pair search vs all-pairs, over arbitrary signatures
+# ---------------------------------------------------------------------------
+
+
+@given(
+    sigs=st.lists(st.integers(min_value=0, max_value=(1 << 16) - 1), min_size=2, max_size=30)
+)
+@SETTINGS
+def test_banded_simhash_equals_all_pairs_on_random_sigs(spark, sigs):
+    from opentelemetry_collector_spark.operators.dedup import (
+        simhash_banded_pairs,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id int, simhash long"
+    )
+    allp = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(df, max_hamming=3).collect()}
+    band = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_banded_pairs(df, bits=16, bands=4, max_hamming=3).collect()
+    }
+    assert band == allp
