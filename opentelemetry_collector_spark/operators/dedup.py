@@ -19,7 +19,7 @@ the DuckDB oracle recomputes bit-identically.  Same plan shape either way.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 from .textstats import MOD, word_codes, words
 
@@ -83,7 +83,6 @@ def minhash_signatures(
         F.min(F.pmod(F.lit(2 * j + 1) * F.pmod(F.col("h"), F.lit(MINHASH_P)) + F.lit(j * 97), F.lit(MINHASH_P))).alias(f"mh{j}")
         for j in range(k)
     ]
-    sig = df.sparkSession  # noqa: F841  (kept for readability)
     out = sh.groupBy("id").agg(*mins)
     return out.select("id", F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig"))
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from .functions.grok import GrokPattern
 from .functions.scalars import enum_code, epoch_micros, hex_id
