@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--output", default=None, help="sink root; enables snapshot commits + resume")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="YAML pipeline spec (routes/grok/relabel/attributes) — the "
+        "`otelcol --config` analog; default spec when omitted",
+    )
     args = ap.parse_args()
 
     # Under spark-submit the session already carries the submitted master;
@@ -71,10 +77,19 @@ def main() -> None:
     else:
         records = gen_telemetry(spark, args.rows, seed=args.seed, partitions=64)
 
+    spec = None
+    if args.config:
+        from opentelemetry_collector_spark.plans.config import spec_from_yaml
+
+        with open(args.config) as f:
+            spec = spec_from_yaml(f.read())  # fail fast, before any Spark plan
+
     io = ParquetSnapshotIO(args.output) if args.output else None
     metrics = StageMetrics(run_id=args.run_id)
     t0 = time.monotonic()
-    out = run_pipeline(spark, records, gen_lookup(spark), io=io, run_id=args.run_id, metrics=metrics)
+    out = run_pipeline(
+        spark, records, gen_lookup(spark), spec=spec, io=io, run_id=args.run_id, metrics=metrics
+    )
     if io is None:
         out["tagged"].write.format("noop").mode("overwrite").save()
     src = {r["source"]: r["n_rows"] for r in out["source_counts"].collect()}

@@ -198,3 +198,24 @@ def test_pipeline_runs_yaml_declared_chains(spark):
     assert row["svc_name"] == __import__("hashlib").sha256(b"payments").hexdigest()
     assert row["src_num"] == "n0"                            # relabel backref
     assert tagged.filter("source = 'src9'").count() == 0     # relabel drop ran
+
+
+def test_golden_config_file_runs_pipeline(spark):
+    """Golden-config parity (processor/*/testdata/config.yaml analog): the
+    checked-in YAML file decodes, round-trips, and drives the pipeline."""
+    import os
+
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+    path = os.path.join(os.path.dirname(__file__), "testdata", "pipeline.yaml")
+    with open(path) as f:
+        spec = spec_from_yaml(f.read())
+    assert spec_from_yaml(spec_to_yaml(spec)).routes == spec.routes
+    out = run_pipeline(spark, gen_telemetry(spark, 400, partitions=2), gen_lookup(spark), spec=spec)
+    tagged = out["tagged"]
+    row = tagged.filter("source = 'src0'").select("pipeline_name", "src_num", "tid").first()
+    assert row["pipeline_name"] == "golden" and row["src_num"] == "n0"
+    assert row["tid"] is None or len(row["tid"]) == 64  # sha256-hashed in place
+    sinks = {r["sink"] for r in tagged.select("sink").distinct().collect()}
+    assert "sink_hot" in sinks and "sink_default" in sinks
