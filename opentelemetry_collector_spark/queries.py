@@ -1468,6 +1468,30 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "win_sliding_counts",
+    """
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM events)
+    SELECT ws, event_type, count(*) AS n, ROUND(sum(value), 4) AS value_sum
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def win_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 sliding event-time windows (2h width, 1h slide): every event
+    lands in two overlapping windows.  The oracle materializes the window
+    assignment explicitly (UNION ALL of the two hour-starts) — an
+    independent statement of Spark's window() semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "value_sum")
+    )
+
+
 # --------------------------------------------------------------------------
 # training-sequence packing & token statistics (operators/packing.py)
 # --------------------------------------------------------------------------

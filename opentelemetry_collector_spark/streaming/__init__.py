@@ -11,12 +11,18 @@ the reference has maps onto Structured Streaming:
 - batch size/timeout     → flush-on-size stateful batcher
 """
 
-from .micro_batch import read_stream_sequences, run_stream_pipeline, windowed_sink_counts
+from .micro_batch import (
+    read_stream_sequences,
+    run_stream_pipeline,
+    streaming_dedup,
+    windowed_sink_counts,
+)
 from .stateful import streaming_accumulator, streaming_batcher, streaming_tail_sample
 
 __all__ = [
     "read_stream_sequences",
     "run_stream_pipeline",
+    "streaming_dedup",
     "windowed_sink_counts",
     "streaming_accumulator",
     "streaming_batcher",

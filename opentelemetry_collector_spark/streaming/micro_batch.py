@@ -110,3 +110,19 @@ def run_stream_pipeline(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def streaming_dedup(
+    stream: DataFrame, id_cols: list[str] | None = None, ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Record-level exactly-once under receiver redelivery (§2.12): drop
+    duplicate ``id_cols`` arrivals within the watermark horizon.
+
+    The collector is at-least-once end to end — a retried export re-sends
+    whole batches and downstreams are expected to tolerate duplicates.  In
+    the engine the fix is declarative: ``dropDuplicatesWithinWatermark``
+    keeps per-id state only until the watermark passes (bounded state, the
+    100 TB requirement — an unbounded ``dropDuplicates`` would accrete one
+    state row per record forever)."""
+    ids = id_cols or ["doc_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(ids)

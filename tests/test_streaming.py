@@ -319,3 +319,31 @@ pipeline:
     hot = ParquetSnapshotIO(root=sink_root).read(spark, "sink_hot")
     row = hot.select("pipe", "src_num").first()
     assert row["pipe"] == "streamed" and row["src_num"] == "n0"
+
+
+def test_streaming_dedup_drops_redelivered_records(spark, tmp_path):
+    """Receiver redelivery (at-least-once) de-duplicated with bounded state:
+    the same doc_ids arriving again within the watermark emit only once."""
+    from opentelemetry_collector_spark.streaming.micro_batch import streaming_dedup
+
+    d = str(tmp_path / "in")
+    base = gen_sequences(spark, 100, seed=7, partitions=1).withColumn(
+        "ts", F.lit("2024-01-01 00:00:30").cast("timestamp")
+    )
+    base.write.mode("append").parquet(d)          # first delivery
+    base.write.mode("append").parquet(d)          # redelivery (same ids)
+    stream = read_stream_sequences(
+        spark, d, "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp",
+        max_files_per_trigger=1,
+    )
+    q = (
+        streaming_dedup(stream, ["doc_id"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT doc_id) AS d FROM dedup_stream").first()
+    assert got["n"] == 100 and got["d"] == 100
