@@ -21,6 +21,26 @@ def cumulative_sum(df: DataFrame, keys: list[str], ts_col: str, value_col: str, 
     return df.withColumn(out_col, F.sum(value_col).over(w))
 
 
+def delta_from_cumulative(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+    out_col: str = "delta",
+) -> DataFrame:
+    """Cumulative→delta (the inverse of W1; contrib
+    cumulativetodeltaprocessor analog): delta = value − lag(value) per
+    series, NULL for the first point of a series (the upstream processor
+    likewise drops/flags the first point — no start reference).  Counter
+    RESETS (monotonic counter restarting at 0) surface as negative deltas;
+    detecting/zeroing them is the caller's policy, matching upstream's
+    reset detection knob."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w))
+
+
 def first_ts(df: DataFrame, keys: list[str], ts_col: str, out_col: str = "start_ts") -> DataFrame:
     w = Window.partitionBy(*keys)
     return df.withColumn(out_col, F.min(ts_col).over(w))

@@ -712,6 +712,26 @@ def win_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "win_delta_from_cumulative",
+    """
+    SELECT event_id, user_id,
+           ROUND(ROUND(value, 4) - lag(ROUND(value, 4)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+)
+def win_delta_from_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative→delta (inverse of W1; contrib cumulativetodelta analog):
+    per-series lag difference, NULL first point — see
+    operators.windows.delta_from_cumulative for reset semantics."""
+    from .operators.windows import delta_from_cumulative
+
+    ev = _t(spark, sf_dir, "events").withColumn("value", F.round("value", 4))
+    out = delta_from_cumulative(ev, ["user_id"], "ts", "value", tiebreak="event_id")
+    return out.select("event_id", "user_id", F.round("delta", 4).alias("delta"))
+
+
+@_q(
     "win_first_ts",
     """
     SELECT event_id, user_id, min(ts) OVER (PARTITION BY user_id) AS start_ts
