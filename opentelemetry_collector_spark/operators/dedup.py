@@ -155,6 +155,40 @@ def ngram_jaccard_pairs(
     return j.select("id_a", "id_b", "jaccard")
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 2,
+    mode: str = "raw",
+) -> DataFrame:
+    """Benchmark decontamination: (corpus_id, bench_id, n_shared) for every
+    corpus doc sharing ≥ ``min_shared`` distinct word n-grams with a
+    benchmark doc — the containment check run before training to drop
+    eval-set leakage.
+
+    Scale shape: the benchmark side is small by definition — its distinct
+    shingles broadcast, so the corpus side streams through one codegen pass
+    and only (corpus_id, bench_id) hits reach the counting shuffle.  This
+    is containment (shared-shingle count), deliberately NOT Jaccard: a
+    50-token benchmark question inside a 10k-token document has tiny
+    Jaccard but is still contamination."""
+    c_sh = shingle_hashes(corpus, id_col, text_col, n=n, mode=mode).distinct()
+    b_sh = (
+        shingle_hashes(benchmark, id_col, text_col, n=n, mode=mode)
+        .distinct()
+        .select(F.col("id").alias("bench_id"), "h")
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), on="h")
+        .groupBy(F.col("id").alias("corpus_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str,

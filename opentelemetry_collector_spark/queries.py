@@ -1048,6 +1048,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_contamination",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2])) AS h
+      FROM documents),
+    hits AS (
+      SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_shared
+      FROM sh c JOIN sh b ON c.h = b.h
+      WHERE c.doc_id >= 20 AND b.doc_id < 20
+      GROUP BY 1, 2)
+    SELECT corpus_id, bench_id, n_shared FROM hits WHERE n_shared >= 2
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (engine extension): corpus docs sharing
+    ≥2 distinct 3-gram shingles with the 'benchmark' split (doc_id < 20
+    stands in for the eval set).  Benchmark shingles broadcast; corpus
+    streams through once."""
+    from .operators.dedup import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_pairs(
+        d.filter(F.col("doc_id") >= 20),
+        d.filter(F.col("doc_id") < 20),
+        "doc_id",
+        "text",
+        n=3,
+        min_shared=2,
+        mode="raw",
+    )
+
+
+@_q(
     "dedup_corpus_keep",
     """
     WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -124,3 +124,38 @@ def test_simhash_banded_rejects_overwide_radius(spark, docs):
     sig = simhash(docs, "doc_id", "text", bits=16)
     with pytest.raises(ValueError):
         simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=4)
+
+
+def test_contamination_containment_not_jaccard(spark):
+    """A short benchmark string inside a long doc must flag even though its
+    Jaccard is tiny — containment semantics."""
+    from opentelemetry_collector_spark.operators.dedup import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(0, "what is the capital of france")], "doc_id int, text string"
+    )
+    filler = " ".join(f"w{i}" for i in range(200))
+    corpus = spark.createDataFrame(
+        [
+            (100, filler + " what is the capital of france " + filler),  # leaked
+            (101, filler),                                               # clean
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.corpus_id, r.bench_id): r.n_shared
+        for r in contamination_pairs(corpus, bench, "doc_id", "text", min_shared=2).collect()
+    }
+    assert set(got) == {(100, 0)} and got[(100, 0)] >= 3
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from opentelemetry_collector_spark.operators.dedup import contamination_pairs
+
+    bench = spark.createDataFrame([(0, "a b c d")], "doc_id int, text string")
+    corpus = spark.createDataFrame([(1, "x y z a b c")], "doc_id int, text string")
+    plan = (
+        contamination_pairs(corpus, bench, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
