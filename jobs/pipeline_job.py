@@ -32,6 +32,14 @@ def main() -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument(
+        "--salt-buckets",
+        type=int,
+        default=None,
+        help="override spec.salt_buckets; 0 = straight-through write "
+        "(no pre-write shuffle — use when input partitions are already "
+        "well distributed and local shuffle scratch is the constraint)",
+    )
+    ap.add_argument(
         "--config",
         default=None,
         help="YAML pipeline spec (routes/grok/relabel/attributes) — the "
@@ -83,6 +91,11 @@ def main() -> None:
 
         with open(args.config) as f:
             spec = spec_from_yaml(f.read())  # fail fast, before any Spark plan
+    if args.salt_buckets is not None:
+        from opentelemetry_collector_spark.plans.pipeline import PipelineSpec
+
+        spec = spec or PipelineSpec()
+        spec.salt_buckets = args.salt_buckets
 
     io = ParquetSnapshotIO(args.output) if args.output else None
     metrics = StageMetrics(run_id=args.run_id)

@@ -122,10 +122,20 @@ def run_pipeline(
 
     if io is not None:
         # Salt the routed write so the zipf-head source spreads across
-        # writers (north_rule skew mandate).
-        salted = tagged.repartition(
-            spec.salt_buckets, *salted_key(F.col("sink"), F.col(spec.id_col), spec.salt_buckets)
-        )
+        # writers (north_rule skew mandate).  salt_buckets<=0 skips the
+        # shuffle entirely (straight-through write): with the single-pass
+        # partitionBy(sink) writer every task writes its own slice of every
+        # sink, so an already-well-distributed input needs NO exchange — the
+        # trade is more, smaller files per sink vs shuffle+sort scratch
+        # (~2× the dataset on local disk; the measured 100M-row ceiling on
+        # this box).  Keep salting when downstream wants few big files.
+        if spec.salt_buckets > 0:
+            salted = tagged.repartition(
+                spec.salt_buckets,
+                *salted_key(F.col("sink"), F.col(spec.id_col), spec.salt_buckets),
+            )
+        else:
+            salted = tagged
         sinks = [r.sink for r in sorted(spec.routes, key=lambda x: x.priority)]
         if spec.single_pass_fanout and hasattr(io, "append_group_partitioned"):
             # 100 TB path: ONE partitionBy(sink) pass, no cache — every row
