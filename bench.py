@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "relabel_chain",
+    "join_asof",
+    "text_contamination",
+    "win_sliding_counts",
 ]
 
 

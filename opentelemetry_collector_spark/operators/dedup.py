@@ -46,7 +46,12 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3, mode: 
     """(id, h): hash per word n-gram shingle.  Duplicates kept (min-hash is
     multiset-safe); use .distinct() for Jaccard set semantics."""
     if mode in ("native", "raw"):
-        w = words(F.col(text_col))
+        # stage the split words: the transform lambda references the words
+        # array 3× per shingle, and HOFs block CSE, so an un-staged
+        # split(text) is recomputed per reference — measured 9× slower at
+        # sf0.1 (same trap as word_codes / simhash).
+        df = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+        w = F.col("_w")
         shingle = lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])  # noqa: E731
         sh = F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1))),
