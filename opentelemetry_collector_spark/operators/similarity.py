@@ -332,7 +332,10 @@ def lsh_candidate_recall(
 
 
 def ivf_cell(
-    vec: Column, centroids: list[tuple[int, list[float]]], round_to: int = 6
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    round_to: int = 6,
+    vec_norm: Column | None = None,
 ) -> Column:
     """IVF coarse-quantizer cell id: argmax-cosine centroid, computed in ONE
     narrow projection (no join, no shuffle, no window).
@@ -341,13 +344,19 @@ def ivf_cell(
     table) of (cid, vector).  The argmax is an ``array_max`` over
     struct(cos, -cid) — lexicographic struct ordering gives cos DESC then
     cid ASC tie-break, and the cosine is rounded so an independent engine
-    (the DuckDB oracle) ranks identically."""
+    (the DuckDB oracle) ranks identically.
+
+    Pass ``vec_norm`` as a STAGED column when calling over a frame: the
+    norm appears once per centroid in this expression, and HOFs block CSE,
+    so an inline ``norm(vec)`` is recomputed per centroid (k extra array
+    traversals per row)."""
+    vn = vec_norm if vec_norm is not None else norm(vec)
     scored = F.array(
         *[
             F.struct(
                 F.round(
                     dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))
-                    / (norm(vec) * F.lit(sum(float(x) ** 2 for x in cvec) ** 0.5)),
+                    / (vn * F.lit(sum(float(x) ** 2 for x in cvec) ** 0.5)),
                     round_to,
                 ).alias("cos"),
                 F.lit(-cid).alias("negcid"),
@@ -375,16 +384,20 @@ def ivf_cosine_topk(
     (id, vec, norm, cell) rows reach it — candidates shrink ~n/n_centroids.
     Centroid choice is pluggable (here: caller-provided seeds; production
     would k-means-refine them — the plumbing is identical)."""
-    cell = ivf_cell(F.col(vec_col), centroids)
-    v = vectors.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn"), cell.alias("cell")
+    staged_v = vectors.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn"))
+    v = staged_v.select(
+        id_col,
+        vec_col,
+        "_vn",
+        ivf_cell(F.col(vec_col), centroids, vec_norm=F.col("_vn")).alias("cell"),
     )
+    staged_q = queries.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_qn"))
     q = F.broadcast(
-        queries.select(
+        staged_q.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            norm(F.col(vec_col)).alias("_qn"),
-            cell.alias("cell"),
+            "_qn",
+            ivf_cell(F.col(vec_col), centroids, vec_norm=F.col("_qn")).alias("cell"),
         )
     )
     scored = (
