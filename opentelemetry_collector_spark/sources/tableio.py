@@ -108,6 +108,29 @@ class ParquetSnapshotIO(TableIO):
             return set()
         return {f[: -len(".json")] for f in os.listdir(snap_dir) if f.endswith(".json")}
 
+    def snapshot_log(self, table: str) -> list[dict]:
+        """Commit history, oldest first — the Iceberg snapshot-log analog.
+        Each entry: {snapshot_id, group_id, committed_at, ...}."""
+        snap_dir = os.path.join(self._tdir(table), "_snapshots")
+        if not os.path.isdir(snap_dir):
+            return []
+        out = []
+        for f in os.listdir(snap_dir):
+            if f.endswith(".json"):
+                with open(os.path.join(snap_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return sorted(out, key=lambda m: m["committed_at"])
+
+    def groups_at(self, table: str, snapshot_id: str) -> set[str]:
+        """Group set visible as of ``snapshot_id`` (inclusive) — feed to
+        ``read(..., as_of_groups=...)`` for VERSION-AS-OF reads."""
+        groups: set[str] = set()
+        for m in self.snapshot_log(table):
+            groups.add(m["group_id"])
+            if m["snapshot_id"] == snapshot_id:
+                return groups
+        raise KeyError(f"snapshot {snapshot_id!r} not found in {table!r}")
+
     def append_group_partitioned(
         self, df: DataFrame, part_col: str, tables: list[str], group_id: str
     ) -> FanoutCommit:
@@ -154,10 +177,19 @@ class ParquetSnapshotIO(TableIO):
             out[t] = snapshot_id
         return FanoutCommit(out, data_dir)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, table: str, as_of_groups: set[str] | None = None
+    ) -> DataFrame:
         """Read only committed groups (manifest-gated visibility); groups may
-        live in the table's own data dir or in a shared _fanout partition."""
+        live in the table's own data dir or in a shared _fanout partition.
+
+        ``as_of_groups`` is the snapshot time-travel seam (Iceberg
+        ``VERSION AS OF`` analog): restrict the read to a prior commit set —
+        e.g. ``io.groups_at(table, snapshot_id)`` — so a re-run can be
+        compared against the state any earlier commit produced."""
         committed = sorted(self.committed_groups(table))
+        if as_of_groups is not None:
+            committed = [g for g in committed if g in as_of_groups]
         if not committed:
             raise FileNotFoundError(f"table {table!r} has no committed snapshots")
         plain: list[str] = []

@@ -219,3 +219,22 @@ def test_fanout_commit_handle_carries_data_dir(spark, tmp_path):
     assert commit2.data_dir is None and commit2.snapshots.keys() == commit.snapshots.keys()
     # and the full pipeline resume path survives the cleaned dir (no crash)
     run_pipeline(spark, tel, gen_lookup(spark), io=io, run_id="r1")
+
+
+def test_snapshot_time_travel_read(spark, tmp_path):
+    """VERSION-AS-OF analog: reading a table at an earlier snapshot returns
+    exactly the rows committed up to that point."""
+    from opentelemetry_collector_spark.sources.synthetic import gen_sequences
+
+    io = ParquetSnapshotIO(str(tmp_path / "t"))
+    a = gen_sequences(spark, 100, seed=1, partitions=1)
+    b = gen_sequences(spark, 50, seed=2, partitions=1)
+    snap1 = io.append_group(a, "seqs", "g0")
+    io.append_group(b, "seqs", "g1")
+    assert io.read(spark, "seqs").count() == 150
+    old = io.read(spark, "seqs", as_of_groups=io.groups_at("seqs", snap1))
+    assert old.count() == 100
+    log = io.snapshot_log("seqs")
+    assert [m["group_id"] for m in log] == ["g0", "g1"]
+    with pytest.raises(KeyError):
+        io.groups_at("seqs", "snap-nope")
