@@ -31,12 +31,13 @@ from pyspark.sql import Column, DataFrame
 
 @dataclass(frozen=True)
 class RelabelRule:
-    action: str = "replace"  # replace|keep|drop|lowercase|uppercase|labeldrop|labelkeep
+    action: str = "replace"  # replace|keep|drop|lowercase|uppercase|hashmod|labeldrop|labelkeep
     source_labels: tuple[str, ...] = ()
     separator: str = ";"
     regex: str = "(.*)"
     target_label: str | None = None
     replacement: str = "$1"
+    modulus: int = 0  # hashmod only
 
 
 def _anchored(regex: str) -> str:
@@ -83,6 +84,16 @@ def apply_relabel(df: DataFrame, rules: list[RelabelRule]) -> DataFrame:
                 raise ValueError(f"{r.action} requires target_label")
             fold = F.lower(val) if r.action == "lowercase" else F.upper(val)
             df = df.withColumn(r.target_label, fold)
+        elif r.action == "hashmod":
+            # Prometheus sharding: target := uint64_be(md5(value)[8:16]) % modulus
+            # (relabel.go Process, hashmod case).  The uint64 comes from hex
+            # chars 17..32 of the md5 digest; `conv` reads them as unsigned,
+            # and the arithmetic runs in decimal(20,0) to hold the full range.
+            if r.target_label is None or r.modulus <= 0:
+                raise ValueError("hashmod requires target_label and modulus > 0")
+            num = F.conv(F.substring(F.md5(val), 17, 16), 16, 10).cast("decimal(20,0)")
+            shard = F.pmod(num, F.lit(r.modulus).cast("decimal(20,0)"))
+            df = df.withColumn(r.target_label, shard.cast("long").cast("string"))
         else:
             raise ValueError(f"unknown relabel action {r.action!r}")
     return df

@@ -106,6 +106,7 @@ def spec_from_yaml(text: str) -> PipelineSpec:
                     regex=r.get("regex", "(.*)"),
                     target_label=r.get("target_label"),
                     replacement=r.get("replacement", "$1"),
+                    modulus=int(r.get("modulus", 0)),
                 )
             )
         kwargs["relabel"] = rules
@@ -157,6 +158,7 @@ def spec_to_yaml(spec: PipelineSpec) -> str:
                     "regex": r.regex,
                     "target_label": r.target_label,
                     "replacement": r.replacement if r.replacement != "$1" else None,
+                    "modulus": r.modulus or None,
                 }.items()
                 if v is not None
             }

@@ -122,3 +122,37 @@ def test_chain_order_matters(spark, targets):
         RelabelRule(action="keep", source_labels=("name",), regex="n_.*"),
     ]
     assert {r.name for r in apply_relabel(targets, chain).collect()} == {"n_cpu", "n_mem"}
+
+
+def test_hashmod_matches_prometheus_semantics(spark, targets):
+    """hashmod = uint64_be(md5(value)[8:16]) % modulus — bit-exact against a
+    python recomputation of the upstream formula."""
+    import hashlib
+    import struct
+
+    out = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="hashmod",
+                source_labels=("instance",),
+                target_label="shard",
+                modulus=7,
+            )
+        ],
+    ).collect()
+
+    def pm_hashmod(value: str, modulus: int) -> str:
+        digest = hashlib.md5(value.encode()).digest()
+        return str(struct.unpack(">Q", digest[8:16])[0] % modulus)
+
+    for r in out:
+        assert r.shard == pm_hashmod(r.instance, 7), r.instance
+
+
+def test_hashmod_requires_modulus(spark, targets):
+    with pytest.raises(ValueError):
+        apply_relabel(
+            targets,
+            [RelabelRule(action="hashmod", source_labels=("instance",), target_label="s")],
+        )
