@@ -652,6 +652,30 @@ def agg_counts_by_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_distinct_by_source",
+    """
+    SELECT source,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT n_chars) AS n_len_distinct,
+           count(*) AS n_rows
+    FROM documents GROUP BY source
+    """,
+)
+def agg_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (§2.6 note: absent in the reference, free in
+    Spark — two-phase distinct-agg/expand physical plan): per-source
+    cardinalities.  At 100 TB swap `countDistinct` for
+    `approx_count_distinct` (HLL++) when exactness isn't contractual —
+    same query shape, no second shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("n_chars").alias("n_len_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q(
     "agg_rollup_counts",
     """
     SELECT source, lang, count(*) AS n_rows
