@@ -45,28 +45,28 @@ def asof_join(
 
     r = right.select(
         *keys,
-        F.col(ts_col).alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.struct(*r_payload).alias("_r"),
+        F.col(ts_col).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        F.struct(*r_payload).alias("__asof_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c not in keys],
     )
     l = left.select(
         *keys,
-        F.col(ts_col).alias("_ts"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        F.col(ts_col).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(r.schema["__asof_r"].dataType).alias("__asof_r"),
         *[F.col(c) for c in l_cols if c not in keys],
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
         r.unionByName(l)
-        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
+        .withColumn("__asof_match", F.last("__asof_r", ignorenulls=True).over(w))
+        .filter(F.col("__asof_side") == 1)
     )
     out_cols = [F.col(c) for c in l_cols]
-    out_cols += [F.col("_match")[c].alias(f"{right_prefix}{c}") for c in r_payload]
+    out_cols += [F.col("__asof_match")[c].alias(f"{right_prefix}{c}") for c in r_payload]
     return carried.select(*out_cols)

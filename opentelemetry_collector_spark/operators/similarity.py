@@ -350,6 +350,8 @@ def ivf_cell(
     norm appears once per centroid in this expression, and HOFs block CSE,
     so an inline ``norm(vec)`` is recomputed per centroid (k extra array
     traversals per row)."""
+    if not centroids:
+        raise ValueError("ivf_cell requires at least one centroid")
     vn = vec_norm if vec_norm is not None else norm(vec)
     scored = F.array(
         *[
