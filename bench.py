@@ -84,7 +84,7 @@ def main() -> None:
         fn = QUERIES[key]
         fn(spark, sf_dir).count()  # warm: plan + scan caches
         best_q = None
-        for _ in range(2):
+        for _ in range(max(1, trials)):
             t0 = time.monotonic()
             materialize(fn(spark, sf_dir))
             dt = time.monotonic() - t0

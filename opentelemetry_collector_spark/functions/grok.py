@@ -67,6 +67,33 @@ def _ends_with_unescaped_dollar(regex: str) -> bool:
     return n % 2 == 0
 
 
+def _has_top_level_alternation(regex: str) -> bool:
+    """'^a|b$' is NOT fully anchored: the anchors bind per-alternative, so
+    a top-level (depth-0, unescaped, outside char classes) '|' disqualifies
+    the replace-then-split fast path."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(regex):
+        ch = regex[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 @dataclass
 class GrokPattern:
     """A compiled parse plan: group name → regexp_extract index.
@@ -92,7 +119,11 @@ class GrokPattern:
         # A trailing literal '\$' (escaped dollar) is NOT an anchor: count
         # the backslashes before the final '$' — odd means it's escaped and
         # the replace-then-split rewrite would silently corrupt tail text.
-        self.anchored = self.regex.startswith("^") and _ends_with_unescaped_dollar(self.regex)
+        self.anchored = (
+            self.regex.startswith("^")
+            and _ends_with_unescaped_dollar(self.regex)
+            and not _has_top_level_alternation(self.regex)
+        )
 
     _SEP = "\x01"  # never appears in log text; documented limitation
 

@@ -119,14 +119,26 @@ def apply_actions_map(df: DataFrame, attrs_col: str, actions: list[AttrAction]) 
         has = F.map_contains_key(m, key)
         src = _map_source(m, a)
         entry = F.create_map(key, src)
+        # FromAttribute on an ABSENT source key skips the action entirely
+        # (reference: attraction.go only acts when the source attribute
+        # exists) — without this guard a missing source writes a phantom
+        # NULL-valued entry that flips later presence checks.
+        src_ok = (
+            F.map_contains_key(m, F.lit(a.from_attribute))
+            if a.from_attribute is not None
+            else F.lit(True)
+        )
         if a.action == "insert":
-            new_m = F.when(has, m).otherwise(F.map_concat(m, entry))
+            new_m = F.when(has | ~src_ok, m).otherwise(F.map_concat(m, entry))
         elif a.action == "update":
             new_m = F.when(
-                has, F.transform_values(m, lambda k, v: F.when(k == key, src).otherwise(v))
+                has & src_ok,
+                F.transform_values(m, lambda k, v: F.when(k == key, src).otherwise(v)),
             ).otherwise(m)
         elif a.action == "upsert":
-            new_m = F.map_concat(F.map_filter(m, lambda k, v: k != key), entry)
+            new_m = F.when(
+                src_ok, F.map_concat(F.map_filter(m, lambda k, v: k != key), entry)
+            ).otherwise(m)
         elif a.action == "delete":
             new_m = F.map_filter(m, lambda k, v: k != key)
         elif a.action == "hash":

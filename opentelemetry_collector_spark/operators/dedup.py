@@ -53,10 +53,16 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3, mode: 
         df = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
         w = F.col("_w")
         shingle = lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])  # noqa: E731
-        sh = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1))),
-            (lambda i: F.xxhash64(shingle(i))) if mode == "native" else shingle,
-        )
+        # NB: sequence(0, size-n) DESCENDS for size<n (Spark sequences run
+        # backwards when end<start) and element_at past the array throws
+        # under ANSI — documents shorter than n words must yield NO shingles
+        sh = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                (lambda i: F.xxhash64(shingle(i))) if mode == "native" else shingle,
+            ),
+        ).otherwise(F.array().cast("array<bigint>" if mode == "native" else "array<string>"))
     elif mode == "portable":
         if n != 3:
             raise ValueError("portable mode implements n=3")
@@ -64,14 +70,17 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3, mode: 
         # per element_at reference (no CSE through higher-order functions)
         df = df.select(F.col(id_col), word_codes(F.col(text_col)).alias("_codes"))
         codes = F.col("_codes")
-        sh = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(codes) - 2, F.lit(0))),
-            lambda i: F.pmod(
-                F.pmod(F.element_at(codes, i.cast("int")) * 31 + F.element_at(codes, (i + 1).cast("int")), F.lit(MOD)) * 31
-                + F.element_at(codes, (i + 2).cast("int")),
-                F.lit(MOD),
+        sh = F.when(
+            F.size(codes) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(codes) - 2),
+                lambda i: F.pmod(
+                    F.pmod(F.element_at(codes, i.cast("int")) * 31 + F.element_at(codes, (i + 1).cast("int")), F.lit(MOD)) * 31
+                    + F.element_at(codes, (i + 2).cast("int")),
+                    F.lit(MOD),
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<bigint>"))
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("h"))

@@ -29,15 +29,30 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+VALID_RELABEL_ACTIONS = (
+    "replace", "keep", "drop", "lowercase", "uppercase", "hashmod", "labeldrop", "labelkeep",
+)
+
+
 @dataclass(frozen=True)
 class RelabelRule:
-    action: str = "replace"  # replace|keep|drop|lowercase|uppercase|hashmod|labeldrop|labelkeep
+    action: str = "replace"
     source_labels: tuple[str, ...] = ()
     separator: str = ";"
     regex: str = "(.*)"
     target_label: str | None = None
     replacement: str = "$1"
     modulus: int = 0  # hashmod only
+
+    def __post_init__(self) -> None:
+        """Fail-fast at construction (so config loading rejects bad rules
+        before any Spark plan exists), mirroring Prometheus config.Validate."""
+        if self.action not in VALID_RELABEL_ACTIONS:
+            raise ValueError(f"unknown relabel action {self.action!r}")
+        if self.action in ("replace", "lowercase", "uppercase", "hashmod") and not self.target_label:
+            raise ValueError(f"{self.action} requires target_label")
+        if self.action == "hashmod" and self.modulus <= 0:
+            raise ValueError("hashmod requires modulus > 0")
 
 
 def _anchored(regex: str) -> str:

@@ -317,8 +317,17 @@ def lsh_candidate_recall(
     (the ground truth side is the O(n²) form)."""
     truth = embedding_neardup_pairs(vectors, threshold, id_col, vec_col, max_id)
     v = vectors if max_id is None else vectors.filter(F.col(id_col) < max_id)
-    cand = lsh_neardup_pairs(vectors=v, threshold=-1.0, dim=dim, bands=bands, bits=bits,
-                             id_col=id_col, vec_col=vec_col).select("id_a", "id_b")
+    # candidates straight from the band join — no need to re-join vectors
+    # and score exact cosines only to discard them
+    sigs = lsh_band_signatures(v, dim, bands, bits, id_col, vec_col)
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count("*").alias("n_true"))

@@ -98,17 +98,20 @@ def spec_from_yaml(text: str) -> PipelineSpec:
         for r in p["relabel"] or []:
             if "action" not in r:
                 raise ConfigError("relabel entry requires 'action'")
-            rules.append(
-                RelabelRule(
-                    action=r["action"],
-                    source_labels=tuple(r.get("source_labels") or ()),
-                    separator=r.get("separator", ";"),
-                    regex=r.get("regex", "(.*)"),
-                    target_label=r.get("target_label"),
-                    replacement=r.get("replacement", "$1"),
-                    modulus=int(r.get("modulus", 0)),
+            try:
+                rules.append(
+                    RelabelRule(
+                        action=r["action"],
+                        source_labels=tuple(r.get("source_labels") or ()),
+                        separator=r.get("separator", ";"),
+                        regex=r.get("regex", "(.*)"),
+                        target_label=r.get("target_label"),
+                        replacement=r.get("replacement", "$1"),
+                        modulus=int(r.get("modulus", 0)),
+                    )
                 )
-            )
+            except ValueError as e:
+                raise ConfigError(str(e)) from e
         kwargs["relabel"] = rules
     return PipelineSpec(**kwargs)
 

@@ -1474,11 +1474,12 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize",
     """
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
-           CAST((W + stride - 1) // stride AS INTEGER) AS width,
-           CAST((W + stride - 1) // stride AS BIGINT) AS n_bytes
+           CAST(CASE WHEN W = 0 THEN 0 ELSE (W + stride - 1) // stride END AS INTEGER) AS width,
+           CAST(CASE WHEN W = 0 THEN 0 ELSE (W + stride - 1) // stride END AS BIGINT) AS n_bytes
     FROM (
       SELECT doc_id, W,
-             (W + least(W, 128) - 1) // least(W, 128) AS stride
+             CASE WHEN W = 0 THEN 1
+                  ELSE (W + least(W, 128) - 1) // least(W, 128) END AS stride
       FROM (SELECT doc_id, octet_length(encode(text)) AS W FROM documents))
     """,
 )

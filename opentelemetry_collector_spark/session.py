@@ -53,10 +53,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # catalog tables (bucketed co-located joins) live outside the repo
+        # catalog tables (bucketed co-located joins) live outside the repo;
+        # pid-scoped by default so concurrent sessions can't clobber each
+        # other's saveAsTable data (set SPARK_GRAFT_WAREHOUSE to share)
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark_graft_warehouse_{os.getpid()}"
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -83,11 +83,18 @@ def run_stream_pipeline(
     (manifest-invisible) data dir before re-laying markers.  Read the sinks
     back via ``ParquetSnapshotIO(root=sink_root).read(spark, sink)``.
     """
+    import hashlib
+
     from ..sources.tableio import ParquetSnapshotIO
 
     stream = read_stream_sequences(spark, input_dir, schema)
     io = ParquetSnapshotIO(root=sink_root)
     sinks = [r.sink for r in routes]
+    # Group ids are scoped to the CHECKPOINT, not just the batch id: batch
+    # ids restart at 0 for a fresh checkpoint, and a bare batch-keyed group
+    # would silently no-op a new stream's first batches as "already
+    # committed" replays of an older stream that shared the sink_root.
+    stream_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
@@ -104,7 +111,7 @@ def run_stream_pipeline(
                 df = apply_actions(df, spec.attr_actions)
         enriched = broadcast_enrich(df, lookup, on="source", defaults={"env": "unknown"})
         tagged = route_tag(enriched, routes)
-        io.append_group_partitioned(tagged, "sink", sinks, f"batch{batch_id:08d}")
+        io.append_group_partitioned(tagged, "sink", sinks, f"ck{stream_tag}-batch{batch_id:08d}")
 
     w = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if available_now:

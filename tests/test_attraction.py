@@ -164,3 +164,18 @@ def test_map_mode_matches_column_mode(spark):
         # PRESENT (null-valued) and skips — the one documented divergence
         if rid == "d2":
             assert m["env"] == env
+
+
+def test_map_mode_from_attribute_missing_source_skips(spark):
+    """FromAttribute on an absent source key must skip the action (reference
+    semantics), not write a phantom NULL entry (code-review finding r2)."""
+    from opentelemetry_collector_spark.operators.attraction import apply_actions_map
+
+    df = spark.createDataFrame([("d1", {"a": "x"})], "id string, attrs map<string,string>")
+    chain = [
+        AttrAction("insert", "b", from_attribute="missing"),
+        AttrAction("upsert", "c", from_attribute="missing"),
+        AttrAction("update", "a", from_attribute="missing"),
+    ]
+    got = apply_actions_map(df, "attrs", chain).collect()[0].attrs
+    assert got == {"a": "x"}  # untouched: no phantom b/c, a not nulled

@@ -5,6 +5,7 @@ import pytest
 
 from opentelemetry_collector_spark.operators.dedup import (
     dedup_keep_canonical,
+    shingle_hashes,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -159,3 +160,26 @@ def test_contamination_plan_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_short_docs_yield_no_shingles_not_crash(spark):
+    """Docs with fewer than n words (incl. empty text) must produce ZERO
+    shingles, not an ANSI element_at crash (code-review finding r2):
+    sequence(0, size-n) DESCENDS when size<n."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "three word doc"), (5, "a b c d")],
+        "doc_id int, text string",
+    )
+    for mode in ("raw", "native", "portable"):
+        got = {
+            r.id: r.n
+            for r in shingle_hashes(df, "doc_id", "text", n=3, mode=mode)
+            .groupBy("id").agg(F.count("*").alias("n")).collect()
+        }
+        assert 1 not in got and 2 not in got and 3 not in got, mode
+        assert got.get(4) == 1 and got.get(5) == 2, mode
+    # and the composed paths survive short docs end-to-end
+    from opentelemetry_collector_spark.operators.dedup import contamination_pairs, dedup_corpus
+
+    assert dedup_corpus(df, "doc_id", "text").count() == 5
+    assert contamination_pairs(df, df.filter("doc_id = 2"), "doc_id", "text").count() == 0

@@ -97,3 +97,19 @@ def test_doubly_escaped_dollar_is_an_anchor(spark):
 
     p = GrokPattern("^a=(?P<a>\\d+) b=(?P<b>\\w+)\\\\$")
     assert p.anchored
+
+
+def test_top_level_alternation_disables_fast_path(spark):
+    """'^a|b$' anchors bind per-alternative — must take the slow path and
+    still extract correctly mid-line (code-review finding r2)."""
+    from opentelemetry_collector_spark.functions.grok import GrokPattern
+
+    p = GrokPattern(r"^err=(?P<a>\d+)|(?P<b>\w+) done$")
+    assert not p.anchored
+    df = spark.createDataFrame([("prefix text foo done",), ("err=42",)], "raw string")
+    out = df.select(*p.columns(F.col("raw")).values()).collect()
+    assert (out[0].a, out[0].b) == (None, "foo")
+    assert (out[1].a, out[1].b) == ("42", None)
+    # alternation INSIDE a group stays fast-path eligible
+    p2 = GrokPattern(r"^lvl=(?P<lvl>INFO|WARN) k=(?P<k>\d+)$")
+    assert p2.anchored

@@ -81,13 +81,17 @@ def test_stream_pipeline_batch_replay_is_idempotent(spark, tmp_path, seq_dir):
     gated group commit must absorb the replay without duplicating rows."""
     from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
 
+    import hashlib
+
     sink_root = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
     run_stream_pipeline(
-        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, str(tmp_path / "ckpt")
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, ckpt
     ).awaitTermination(120)
     io = ParquetSnapshotIO(root=sink_root)
     before = sum(io.read(spark, r.sink).count() for r in ROUTES)
-    # simulate the replay directly: re-run a committed batch's fanout
+    # simulate the replay directly: re-run a committed batch's fanout under
+    # the same checkpoint-scoped group id the stream used
     from opentelemetry_collector_spark.operators.enrich import broadcast_enrich
     from opentelemetry_collector_spark.operators.router import route_tag
 
@@ -96,9 +100,29 @@ def test_stream_pipeline_batch_replay_is_idempotent(spark, tmp_path, seq_dir):
         broadcast_enrich(batch0, gen_lookup(spark), on="source", defaults={"env": "unknown"}),
         ROUTES,
     )
-    io.append_group_partitioned(tagged, "sink", [r.sink for r in ROUTES], "batch00000000")
+    gid = f"ck{hashlib.md5(ckpt.encode()).hexdigest()[:8]}-batch00000000"
+    assert gid in io.committed_groups("sink_hot")
+    io.append_group_partitioned(tagged, "sink", [r.sink for r in ROUTES], gid)
     after = sum(io.read(spark, r.sink).count() for r in ROUTES)
     assert after == before
+
+
+def test_fresh_checkpoint_same_sink_root_appends(spark, tmp_path, seq_dir):
+    """A NEW stream (different checkpoint) over the same sink_root must
+    append its batches, not silently no-op them as replays of the old
+    stream's batch ids (code-review finding r2)."""
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    sink_root = str(tmp_path / "sinks")
+    run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, str(tmp_path / "ck1")
+    ).awaitTermination(120)
+    run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, str(tmp_path / "ck2")
+    ).awaitTermination(120)
+    io = ParquetSnapshotIO(root=sink_root)
+    total = sum(io.read(spark, r.sink).count() for r in ROUTES)
+    assert total == 2 * spark.read.parquet(seq_dir).count()
 
 
 def test_windowed_sink_counts_event_time(spark, tmp_path):
