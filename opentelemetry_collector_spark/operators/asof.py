@@ -43,6 +43,16 @@ def asof_join(
     r_payload = [c for c in right.columns if c not in keys]
     l_cols = [c for c in left.columns]
 
+    # Join semantics: NULL keys never match (the DuckDB ASOF oracle agrees);
+    # Window.partitionBy would otherwise group NULL-key rows together and
+    # carry matches between them.  NULL-key LEFT rows still flow through
+    # (left-join semantics — they just find nothing to match).
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    right = right.filter(~null_key)
+
     r = right.select(
         *keys,
         F.col(ts_col).alias("__asof_ts"),

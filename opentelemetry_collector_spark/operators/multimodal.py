@@ -154,7 +154,9 @@ def resize_media(media: DataFrame, max_w: int = 128, backend: str = "fake") -> D
                 rows = []
                 for r in pdf.itertuples(index=False):
                     blob = r.blob or b""
-                    w = int(r.width) if r.width is not None else len(blob)
+                    # NULL ints arrive from Arrow as NaN floats — `is not
+                    # None` passes and int(NaN) raises; use pd.isna
+                    w = len(blob) if pd.isna(r.width) else int(r.width)
                     new_w = max(1, min(w, max_w))
                     stride = (w + new_w - 1) // new_w if w else 1
                     out = bytes(blob[::stride])
@@ -163,7 +165,7 @@ def resize_media(media: DataFrame, max_w: int = 128, backend: str = "fake") -> D
                             r.media_id,
                             r.kind,
                             (w + stride - 1) // stride if w else 0,
-                            int(r.height) if r.height is not None else 1,
+                            1 if pd.isna(r.height) else int(r.height),
                             len(out),
                             out,
                         )

@@ -68,14 +68,21 @@ def _value(rule: RelabelRule) -> Column:
     )
 
 
-def apply_relabel(df: DataFrame, rules: list[RelabelRule]) -> DataFrame:
-    """Apply a Prometheus relabel_config chain, rule by rule, in order."""
+def apply_relabel(
+    df: DataFrame, rules: list[RelabelRule], protected: frozenset[str] = frozenset()
+) -> DataFrame:
+    """Apply a Prometheus relabel_config chain, rule by rule, in order.
+
+    ``protected`` columns are exempt from labeldrop/labelkeep — in
+    Prometheus those actions see only label names, but here the frame also
+    carries engine columns (ids, payload, routing keys) that a
+    Prometheus-legal name filter must not remove."""
     for r in rules:
         if r.action in ("labeldrop", "labelkeep"):
             pat = re.compile(_anchored(r.regex))
             keep = r.action == "labelkeep"
             for c in df.columns:
-                if bool(pat.match(c)) != keep:
+                if c not in protected and bool(pat.match(c)) != keep:
                     df = df.drop(c)
             continue
         val = _value(r)
@@ -87,7 +94,17 @@ def apply_relabel(df: DataFrame, rules: list[RelabelRule]) -> DataFrame:
         elif r.action == "replace":
             if r.target_label is None:
                 raise ValueError("replace requires target_label")
-            expanded = F.regexp_replace(val, pat, r.replacement)
+            # Prometheus expands references to UNDEFINED capture groups as
+            # "" (RE2 Expand); Java's replaceAll throws 'No group N'.  Strip
+            # out-of-range $N references at plan time so a group-less regex
+            # with the default "$1" replacement behaves like upstream.
+            n_groups = re.compile(pat).groups
+            replacement = re.sub(
+                r"\$(\d+)",
+                lambda mm: mm.group(0) if int(mm.group(1)) <= n_groups else "",
+                r.replacement,
+            )
+            expanded = F.regexp_replace(val, pat, replacement)
             existing = (
                 F.col(r.target_label)
                 if r.target_label in df.columns

@@ -11,8 +11,6 @@ would win, but at 64-dim the codegen path is faster than Arrow round-trips.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -137,20 +135,29 @@ def hyperplane_sign(i: int, j: int) -> int:
     return 1 if ((i * 1_000_003 + j * 7_919) % 97) < 48 else -1
 
 
-@lru_cache(maxsize=None)
+_PLANES_CACHE: dict[tuple, Column] = {}
+
+
 def _planes_lit(dim: int, n_planes: int) -> Column:
     """array<array<double>> literal of the first ``n_planes`` hyperplanes.
-    numpy-1D literals convert ~4× faster than python lists through py4j,
-    and the lru_cache means any (dim, planes) config pays the driver-side
-    build exactly once per process."""
+    numpy-1D literals convert ~4× faster than python lists through py4j;
+    the cache is keyed on the ACTIVE session's application id (a Column
+    holds py4j refs bound to one gateway — a plain lru_cache would hand
+    back dead references after a SparkSession restart in-process)."""
     import numpy as np
+    from pyspark.sql import SparkSession
 
-    return F.array(
-        *[
-            F.lit(np.array([float(hyperplane_sign(i, j)) for i in range(dim)]))
-            for j in range(n_planes)
-        ]
-    )
+    sess = SparkSession.getActiveSession()
+    app = sess.sparkContext.applicationId if sess is not None else None
+    key = (dim, n_planes, app)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = F.array(
+            *[
+                F.lit(np.array([float(hyperplane_sign(i, j)) for i in range(dim)]))
+                for j in range(n_planes)
+            ]
+        )
+    return _PLANES_CACHE[key]
 
 
 def lsh_bucket(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -> Column:
@@ -256,6 +263,20 @@ def lsh_band_signatures(
     )
 
 
+def _lsh_candidates(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b) candidate pairs from banded signatures: equi-join on
+    (band, sig), a < b, distinct — shared by the production near-dup gate
+    and the recall audit so they can never drift apart."""
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -276,14 +297,7 @@ def lsh_neardup_pairs(
     with p = 1−θ/π.  Measure it with ``lsh_candidate_recall`` — at loose
     thresholds sign-LSH is deliberately lossy; that is the scale trade."""
     sigs = lsh_band_signatures(vectors, dim, bands, bits, id_col, vec_col)
-    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
-    cand = (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _lsh_candidates(sigs, id_col)
     v = vectors.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
     va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_n").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_n").alias("_nb"))
@@ -317,17 +331,10 @@ def lsh_candidate_recall(
     (the ground truth side is the O(n²) form)."""
     truth = embedding_neardup_pairs(vectors, threshold, id_col, vec_col, max_id)
     v = vectors if max_id is None else vectors.filter(F.col(id_col) < max_id)
-    # candidates straight from the band join — no need to re-join vectors
-    # and score exact cosines only to discard them
-    sigs = lsh_band_signatures(v, dim, bands, bits, id_col, vec_col)
-    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
-    cand = (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # candidates straight from the band join (shared with lsh_neardup_pairs
+    # so the audit measures exactly the production gate) — no need to
+    # re-join vectors and score exact cosines only to discard them
+    cand = _lsh_candidates(lsh_band_signatures(v, dim, bands, bits, id_col, vec_col), id_col)
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count("*").alias("n_true"))

@@ -58,6 +58,14 @@ def run_with_resume(
     injects a crash after N commits (used by the kill-and-rerun test).
     """
     metrics = metrics or StageMetrics(run_id=run_id)
+    if mode == "portable":
+        # portable group arithmetic silently NULLs (→ drops) non-numeric
+        # ids; fail at plan time instead of losing rows
+        dtype = dict(df.dtypes).get(id_col, "")
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"portable group mode requires an integer id column; {id_col!r} is {dtype!r}"
+            )
     done = io.committed_groups(table)
     committed: list[str] = []
     grouped = df.withColumn("_grp", group_of(id_col, n_groups, mode))

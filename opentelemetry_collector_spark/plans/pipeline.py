@@ -97,7 +97,13 @@ def run_pipeline(
     # --- optional processor chains (collector order: relabel → attributes);
     # both compile to pure column expressions, so the stage stays narrow ---
     if spec.relabel:
-        parsed = apply_relabel(parsed, spec.relabel)
+        # engine columns are not "labels": a Prometheus-legal labelkeep must
+        # not strip the id/source/size/payload columns the pipeline needs
+        engine_cols = frozenset(
+            c for c in (spec.id_col, spec.source_col, spec.size_col, spec.raw_col, "tokens")
+            if c in parsed.columns
+        )
+        parsed = apply_relabel(parsed, spec.relabel, protected=engine_cols)
     if spec.attr_actions:
         parsed = apply_actions(parsed, spec.attr_actions)
 

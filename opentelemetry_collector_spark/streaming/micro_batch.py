@@ -84,17 +84,33 @@ def run_stream_pipeline(
     back via ``ParquetSnapshotIO(root=sink_root).read(spark, sink)``.
     """
     import hashlib
+    import json as _json
+    import os as _os
 
     from ..sources.tableio import ParquetSnapshotIO
 
     stream = read_stream_sequences(spark, input_dir, schema)
     io = ParquetSnapshotIO(root=sink_root)
     sinks = [r.sink for r in routes]
-    # Group ids are scoped to the CHECKPOINT, not just the batch id: batch
-    # ids restart at 0 for a fresh checkpoint, and a bare batch-keyed group
-    # would silently no-op a new stream's first batches as "already
-    # committed" replays of an older stream that shared the sink_root.
-    stream_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    # Group ids are scoped to the STREAM INSTANCE, not just the batch id:
+    # batch ids restart at 0 whenever the checkpoint is fresh (different
+    # path OR deleted-and-recreated), and a bare batch-keyed group would
+    # silently no-op the new stream's first batches as "already committed"
+    # replays of an older stream sharing the sink_root.  Spark's stable
+    # discriminator is the query id persisted in <checkpoint>/metadata —
+    # unchanged across restarts of the same checkpoint (so crash-replay
+    # stays idempotent), regenerated when the checkpoint is reset.
+    _tag: dict[str, str] = {}
+
+    def stream_tag() -> str:
+        if "t" not in _tag:
+            try:
+                with open(_os.path.join(checkpoint_dir, "metadata")) as f:
+                    _tag["t"] = _json.load(f)["id"].replace("-", "")[:12]
+            except Exception:  # non-local checkpoint URI → fall back to path hash
+                _tag["t"] = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+        return _tag["t"]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         df = batch_df
@@ -111,7 +127,7 @@ def run_stream_pipeline(
                 df = apply_actions(df, spec.attr_actions)
         enriched = broadcast_enrich(df, lookup, on="source", defaults={"env": "unknown"})
         tagged = route_tag(enriched, routes)
-        io.append_group_partitioned(tagged, "sink", sinks, f"ck{stream_tag}-batch{batch_id:08d}")
+        io.append_group_partitioned(tagged, "sink", sinks, f"q{stream_tag()}-batch{batch_id:08d}")
 
     w = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -53,3 +53,16 @@ def test_asof_single_shuffle_plan(spark):
     # as-of is union + running last) and certainly no range/nested loop
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL join keys must not match each other (join semantics; the DuckDB
+    ASOF oracle agrees) — review finding r2."""
+    left = spark.createDataFrame(
+        [(1, None, _ts(5)), (2, "u1", _ts(5))], "lid int, k string, ts_s string"
+    ).select("lid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(None, _ts(1), 10), ("u1", _ts(1), 20)], "k string, ts_s string, v int"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    got = {r.lid: r.r_v for r in asof_join(left, right, on="k").collect()}
+    assert got == {1: None, 2: 20}

@@ -156,3 +156,30 @@ def test_hashmod_requires_modulus(spark, targets):
             targets,
             [RelabelRule(action="hashmod", source_labels=("instance",), target_label="s")],
         )
+
+
+def test_replace_groupless_regex_expands_empty(spark, targets):
+    """Prometheus expands undefined capture groups to '' (RE2 Expand);
+    Java replaceAll would throw 'No group 1' (review finding r2)."""
+    out = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="replace",
+                source_labels=("region",),
+                regex="us-east",          # no capture groups; default repl "$1"
+                target_label="flag",
+            )
+        ],
+    ).collect()
+    got = {r.region: r.flag for r in out}
+    assert got["us-east"] == "" and got["eu-west"] is None
+
+
+def test_labelkeep_respects_protected_columns(spark, targets):
+    df = apply_relabel(
+        targets,
+        [RelabelRule(action="labelkeep", regex="name")],
+        protected=frozenset({"instance"}),
+    )
+    assert df.columns == ["name", "instance"]

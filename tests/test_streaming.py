@@ -81,7 +81,8 @@ def test_stream_pipeline_batch_replay_is_idempotent(spark, tmp_path, seq_dir):
     gated group commit must absorb the replay without duplicating rows."""
     from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
 
-    import hashlib
+    import json
+    import os
 
     sink_root = str(tmp_path / "sinks")
     ckpt = str(tmp_path / "ckpt")
@@ -91,7 +92,7 @@ def test_stream_pipeline_batch_replay_is_idempotent(spark, tmp_path, seq_dir):
     io = ParquetSnapshotIO(root=sink_root)
     before = sum(io.read(spark, r.sink).count() for r in ROUTES)
     # simulate the replay directly: re-run a committed batch's fanout under
-    # the same checkpoint-scoped group id the stream used
+    # the same query-scoped group id the stream used
     from opentelemetry_collector_spark.operators.enrich import broadcast_enrich
     from opentelemetry_collector_spark.operators.router import route_tag
 
@@ -100,7 +101,9 @@ def test_stream_pipeline_batch_replay_is_idempotent(spark, tmp_path, seq_dir):
         broadcast_enrich(batch0, gen_lookup(spark), on="source", defaults={"env": "unknown"}),
         ROUTES,
     )
-    gid = f"ck{hashlib.md5(ckpt.encode()).hexdigest()[:8]}-batch00000000"
+    with open(os.path.join(ckpt, "metadata")) as f:
+        qid = json.load(f)["id"].replace("-", "")[:12]
+    gid = f"q{qid}-batch00000000"
     assert gid in io.committed_groups("sink_hot")
     io.append_group_partitioned(tagged, "sink", [r.sink for r in ROUTES], gid)
     after = sum(io.read(spark, r.sink).count() for r in ROUTES)
@@ -119,6 +122,28 @@ def test_fresh_checkpoint_same_sink_root_appends(spark, tmp_path, seq_dir):
     ).awaitTermination(120)
     run_stream_pipeline(
         spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, str(tmp_path / "ck2")
+    ).awaitTermination(120)
+    io = ParquetSnapshotIO(root=sink_root)
+    total = sum(io.read(spark, r.sink).count() for r in ROUTES)
+    assert total == 2 * spark.read.parquet(seq_dir).count()
+
+
+def test_checkpoint_reset_same_paths_appends(spark, tmp_path, seq_dir):
+    """Deleting and recreating the SAME checkpoint path (the standard way to
+    reprocess a file-source stream) regenerates the query id, so the new
+    run's batches must append — not no-op as replays (review finding r2)."""
+    import shutil
+
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    sink_root = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, ckpt
+    ).awaitTermination(120)
+    shutil.rmtree(ckpt)  # checkpoint reset: same path, fresh query id
+    run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), ROUTES, sink_root, ckpt
     ).awaitTermination(120)
     io = ParquetSnapshotIO(root=sink_root)
     total = sum(io.read(spark, r.sink).count() for r in ROUTES)
