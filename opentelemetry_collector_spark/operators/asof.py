@@ -51,7 +51,8 @@ def asof_join(
     for k in keys:
         cond = F.col(k).isNull()
         null_key = cond if null_key is None else (null_key | cond)
-    right = right.filter(~null_key)
+    if null_key is not None:  # on=[] is the keyless global as-of join
+        right = right.filter(~null_key)
 
     r = right.select(
         *keys,

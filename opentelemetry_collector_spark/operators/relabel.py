@@ -60,6 +60,38 @@ def _anchored(regex: str) -> str:
     return f"^(?:{regex})$"
 
 
+def _java_pattern(regex: str) -> str:
+    """RE2/Python named groups are ``(?P<x>…)``; Java wants ``(?<x>…)``."""
+    return regex.replace("(?P<", "(?<")
+
+
+def _java_replacement(replacement: str, pattern: str) -> str:
+    """Rewrite an RE2 Expand replacement for Java's appendReplacement.
+
+    RE2 semantics (what Prometheus runs): ``$N``/``${N}`` is a group
+    reference, ``$name`` greedily takes the longest \\w+ name, and ANY
+    undefined reference expands to "".  Java instead throws on undefined
+    groups and rejects ``${N}``.  So: numeric refs beyond the pattern's
+    group count (and name refs not defined by the pattern) are stripped to
+    "" at plan time; ``${N}`` normalizes to ``$N``; defined names keep the
+    Java ``${name}`` form.  If the pattern itself is not Python-parseable
+    (Java-only escapes like \\p{Lu}), we can't count groups — pass the
+    replacement through untouched."""
+    names = set(re.findall(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>", pattern))
+    try:
+        n_groups = re.compile(_anchored(pattern)).groups
+    except re.error:
+        return replacement
+
+    def sub(m: re.Match) -> str:
+        ref = m.group(1) or m.group(2)
+        if ref.isdigit():
+            return f"${ref}" if int(ref) <= n_groups else ""
+        return f"${{{ref}}}" if ref in names else ""
+
+    return re.sub(r"\$\{(\w+)\}|\$(\w+)", sub, replacement)
+
+
 def _value(rule: RelabelRule) -> Column:
     """join(source label values, separator); absent/null labels join as ''."""
     return F.concat_ws(
@@ -86,7 +118,7 @@ def apply_relabel(
                     df = df.drop(c)
             continue
         val = _value(r)
-        pat = _anchored(r.regex)
+        pat = _java_pattern(_anchored(r.regex))
         if r.action == "keep":
             df = df.filter(val.rlike(pat))
         elif r.action == "drop":
@@ -94,16 +126,7 @@ def apply_relabel(
         elif r.action == "replace":
             if r.target_label is None:
                 raise ValueError("replace requires target_label")
-            # Prometheus expands references to UNDEFINED capture groups as
-            # "" (RE2 Expand); Java's replaceAll throws 'No group N'.  Strip
-            # out-of-range $N references at plan time so a group-less regex
-            # with the default "$1" replacement behaves like upstream.
-            n_groups = re.compile(pat).groups
-            replacement = re.sub(
-                r"\$(\d+)",
-                lambda mm: mm.group(0) if int(mm.group(1)) <= n_groups else "",
-                r.replacement,
-            )
+            replacement = _java_replacement(r.replacement, r.regex)
             expanded = F.regexp_replace(val, pat, replacement)
             existing = (
                 F.col(r.target_label)

@@ -151,6 +151,9 @@ def _planes_lit(dim: int, n_planes: int) -> Column:
     app = sess.sparkContext.applicationId if sess is not None else None
     key = (dim, n_planes, app)
     if key not in _PLANES_CACHE:
+        # evict entries from dead sessions (their Columns pin py4j refs)
+        for stale in [k for k in _PLANES_CACHE if k[2] != app]:
+            del _PLANES_CACHE[stale]
         _PLANES_CACHE[key] = F.array(
             *[
                 F.lit(np.array([float(hyperplane_sign(i, j)) for i in range(dim)]))

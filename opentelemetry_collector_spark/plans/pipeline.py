@@ -70,6 +70,21 @@ class PipelineSpec:
     single_pass_fanout: bool = True
 
 
+def engine_columns(df: DataFrame, spec: "PipelineSpec") -> frozenset[str]:
+    """Columns a Prometheus-style labelkeep/labeldrop must never remove:
+    the engine's id/source/size/payload columns plus anything a route
+    predicate references (conservative lexical scan of the SQL — an
+    over-approximation intersected with real columns, so a stray keyword
+    can only over-protect, never break)."""
+    import re as _re
+
+    referenced: set[str] = set()
+    for rt in spec.routes:
+        referenced |= set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", rt.predicate))
+    core = {spec.id_col, spec.source_col, spec.size_col, spec.raw_col, "tokens"}
+    return frozenset((core | referenced) & set(df.columns))
+
+
 def run_pipeline(
     spark: SparkSession,
     records: DataFrame,
@@ -97,13 +112,7 @@ def run_pipeline(
     # --- optional processor chains (collector order: relabel → attributes);
     # both compile to pure column expressions, so the stage stays narrow ---
     if spec.relabel:
-        # engine columns are not "labels": a Prometheus-legal labelkeep must
-        # not strip the id/source/size/payload columns the pipeline needs
-        engine_cols = frozenset(
-            c for c in (spec.id_col, spec.source_col, spec.size_col, spec.raw_col, "tokens")
-            if c in parsed.columns
-        )
-        parsed = apply_relabel(parsed, spec.relabel, protected=engine_cols)
+        parsed = apply_relabel(parsed, spec.relabel, protected=engine_columns(parsed, spec))
     if spec.attr_actions:
         parsed = apply_actions(parsed, spec.attr_actions)
 

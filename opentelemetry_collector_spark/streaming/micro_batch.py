@@ -82,6 +82,11 @@ def run_stream_pipeline(
     is a no-op, and a partially-committed batch overwrites its own
     (manifest-invisible) data dir before re-laying markers.  Read the sinks
     back via ``ParquetSnapshotIO(root=sink_root).read(spark, sink)``.
+
+    NB: group ids embed the checkpoint's persisted query id; upgrading an
+    engine version that changes the id scheme while a checkpoint is
+    mid-flight can replay the crash-window batch under a new group id —
+    drain (let the stream finish its batch) before swapping engine code.
     """
     import hashlib
     import json as _json
@@ -116,11 +121,13 @@ def run_stream_pipeline(
         df = batch_df
         if spec is not None:
             # same optional processor chains as the batch path (collector
-            # order: relabel → attributes), same column-expression compile
+            # order: relabel → attributes), same column-expression compile,
+            # same engine-column protection against name-filter rules
             if spec.relabel:
                 from ..operators.relabel import apply_relabel
+                from ..plans.pipeline import engine_columns
 
-                df = apply_relabel(df, spec.relabel)
+                df = apply_relabel(df, spec.relabel, protected=engine_columns(df, spec))
             if spec.attr_actions:
                 from ..operators.attraction import apply_actions
 

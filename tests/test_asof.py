@@ -66,3 +66,15 @@ def test_asof_null_keys_never_match(spark):
     ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
     got = {r.lid: r.r_v for r in asof_join(left, right, on="k").collect()}
     assert got == {1: None, 2: 20}
+
+
+def test_asof_keyless_global_join(spark):
+    """on=[] — attach the latest right row regardless of key."""
+    left = spark.createDataFrame([(1, _ts(9))], "lid int, ts_s string").select(
+        "lid", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame([(_ts(1), 5), (_ts(8), 7)], "ts_s string, v int").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    )
+    got = asof_join(left, right, on=[], ts_col="ts").collect()
+    assert got[0].r_v == 7

@@ -183,3 +183,44 @@ def test_labelkeep_respects_protected_columns(spark, targets):
         protected=frozenset({"instance"}),
     )
     assert df.columns == ["name", "instance"]
+
+
+def test_replace_brace_and_named_group_forms(spark, targets):
+    """Prometheus-canonical ${1} and named-group forms must work (RE2
+    Expand semantics), incl. undefined names expanding to ''."""
+    out = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="replace", source_labels=("name",), regex="node_(.*)",
+                target_label="a", replacement="x${1}",
+            ),
+            RelabelRule(
+                action="replace", source_labels=("name",),
+                regex=r"(?P<sub>[a-z]+)_(?P<part>[a-z]+)",
+                target_label="b", replacement="$part of $sub",
+            ),
+            RelabelRule(
+                action="replace", source_labels=("name",), regex="(.*)",
+                target_label="c", replacement="<$nope>",
+            ),
+        ],
+    ).collect()
+    got = {r.name: (r.a, r.b, r.c) for r in out}
+    assert got["node_cpu"] == ("xcpu", "cpu of node", "<>")
+    assert got["http_requests_total"][0] is None  # no node_ match → a untouched
+
+
+def test_java_only_regex_does_not_crash_plan(spark, targets):
+    r"""\p{Lu} is Java/RE2-legal but not Python-re-legal: the rule must
+    still plan and execute (group counting is skipped, not fatal)."""
+    out = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="replace", source_labels=("region",), regex=r"\p{Ll}+-east",
+                target_label="zone", replacement="east",
+            )
+        ],
+    ).collect()
+    assert {r.region: r.zone for r in out} == {"us-east": "east", "eu-west": None}
