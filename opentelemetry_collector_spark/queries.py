@@ -756,6 +756,38 @@ def win_delta_from_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "time_rollup_cascade",
+    """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n, 'hour' AS grain
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT date_trunc('day', ts) AS bucket, event_type,
+           count(*) AS n, 'day' AS grain
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate analog (engine extension): hourly
+    rollup from raw, daily rollup RE-AGGREGATED FROM THE HOURLY frame —
+    at 100 TB the coarse grains cost bytes ≈ #fine-grain groups, never a
+    second raw scan.  The oracle states the equivalent direct aggregates
+    (counts are exact, so the cascade is lossless)."""
+    ev = _t(spark, sf_dir, "events")
+    # date_trunc returns LTZ; the corpus is NTZ (session TZ pinned UTC) —
+    # cast back so the driver's value rendering can't diverge on tz suffix
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").cast("timestamp_ntz").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"))
+    return hourly.withColumn("grain", F.lit("hour")).unionByName(
+        daily.withColumn("grain", F.lit("day"))
+    )
+
+
+@_q(
     "win_first_ts",
     """
     SELECT event_id, user_id, min(ts) OVER (PARTITION BY user_id) AS start_ts
