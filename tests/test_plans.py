@@ -166,3 +166,29 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_od_bucketed")
+
+
+# keys whose plans legitimately contain Python eval (Arrow kernels) or an
+# intentional non-equi pair join (brute-force baseline)
+_PYTHON_OK = {"mm_decode_features", "mm_resize", "pack_sequences", "chunk_token_stream"}
+_NESTED_LOOP_OK = {
+    "ann_cosine_topk",        # brute-force baseline: broadcast queries × all vectors
+    "dedup_embedding_recall",  # recall audit: all-pairs GROUND TRUTH side, small-SF only
+}
+
+
+def test_all_keys_plan_hygiene(spark):
+    """Blanket plan audit over EVERY queries() key at sf0.001: no
+    row-at-a-time Python (BatchEvalPython) anywhere, Arrow kernels only in
+    the declared multimodal/packing keys, and no cartesian/nested-loop
+    joins outside the declared brute-force baseline."""
+    failures = []
+    for key, fn in sorted(QUERIES.items()):
+        plan = explain(fn(spark, SF), "simple")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{key}: row-at-a-time Python UDF in plan")
+        if ("ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan) and key not in _PYTHON_OK:
+            failures.append(f"{key}: undeclared Python/Arrow stage")
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and key not in _NESTED_LOOP_OK:
+            failures.append(f"{key}: cartesian/nested-loop join")
+    assert not failures, failures
