@@ -43,16 +43,16 @@ def asof_join(
     r_payload = [c for c in right.columns if c not in keys]
     l_cols = [c for c in left.columns]
 
-    # Join semantics: NULL keys never match (the DuckDB ASOF oracle agrees);
-    # Window.partitionBy would otherwise group NULL-key rows together and
-    # carry matches between them.  NULL-key LEFT rows still flow through
-    # (left-join semantics — they just find nothing to match).
-    null_key = None
+    # Join semantics: NULL keys and NULL timestamps never match (the DuckDB
+    # ASOF oracle agrees: `r.ts <= l.ts` is NULL-false).  Window.partitionBy
+    # would otherwise group NULL-key rows together, and Spark's nulls-first
+    # ASC sort would place a NULL-ts right row at the head of every frame
+    # and carry it forward as a "match".  NULL-key / NULL-ts LEFT rows still
+    # flow through (left-join semantics — they just find nothing to match).
+    drop = F.col(ts_col).isNull()
     for k in keys:
-        cond = F.col(k).isNull()
-        null_key = cond if null_key is None else (null_key | cond)
-    if null_key is not None:  # on=[] is the keyless global as-of join
-        right = right.filter(~null_key)
+        drop = drop | F.col(k).isNull()
+    right = right.filter(~drop)
 
     r = right.select(
         *keys,

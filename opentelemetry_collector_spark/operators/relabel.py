@@ -89,7 +89,12 @@ def _java_replacement(replacement: str, pattern: str) -> str:
             return f"${ref}" if int(ref) <= n_groups else ""
         return f"${{{ref}}}" if ref in names else ""
 
-    return re.sub(r"\$\{(\w+)\}|\$(\w+)", sub, replacement)
+    out = re.sub(r"\$\{(\w+)\}|\$(\w+)", sub, replacement)
+    # RE2's Expand emits a dangling '$' (not followed by \w or {) literally;
+    # Java's regexp_replace throws IllegalArgumentException on it at
+    # runtime — escape any '$' that survived group-reference rewriting and
+    # does not itself start a $N/${name} reference we just emitted.
+    return re.sub(r"\$(?!\d|\{\w+\})", r"\\$", out)
 
 
 def _value(rule: RelabelRule) -> Column:

@@ -88,6 +88,11 @@ class ParquetSnapshotIO(TableIO):
         df.write.mode("overwrite").parquet(data_dir)
         snapshot_id = f"snap-{group_id}-{uuid.uuid4().hex[:12]}"
         os.makedirs(snap_dir, exist_ok=True)
+        # seq: commit ordinal (count of already-committed groups).  time.time()
+        # alone is not a total order — two commits in one clock tick (or under
+        # clock skew) would sort nondeterministically and could corrupt
+        # VERSION-AS-OF reads; snapshot_log sorts (committed_at, seq, group_id).
+        seq = len([f for f in os.listdir(snap_dir) if f.endswith(".json")])
         tmp = manifest + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -95,6 +100,7 @@ class ParquetSnapshotIO(TableIO):
                     "snapshot_id": snapshot_id,
                     "group_id": group_id,
                     "committed_at": time.time(),
+                    "seq": seq,
                     "schema": df.schema.json(),
                 },
                 f,
@@ -119,7 +125,9 @@ class ParquetSnapshotIO(TableIO):
             if f.endswith(".json"):
                 with open(os.path.join(snap_dir, f)) as fh:
                     out.append(json.load(fh))
-        return sorted(out, key=lambda m: m["committed_at"])
+        # total order even when two commits share a clock tick: seq is the
+        # commit ordinal; group_id breaks cross-process seq ties deterministically
+        return sorted(out, key=lambda m: (m["committed_at"], m.get("seq", -1), m["group_id"]))
 
     def groups_at(self, table: str, snapshot_id: str) -> set[str]:
         """Group set visible as of ``snapshot_id`` (inclusive) — feed to

@@ -88,7 +88,6 @@ def run_stream_pipeline(
     mid-flight can replay the crash-window batch under a new group id —
     drain (let the stream finish its batch) before swapping engine code.
     """
-    import hashlib
     import json as _json
     import os as _os
 
@@ -113,8 +112,19 @@ def run_stream_pipeline(
             try:
                 with open(_os.path.join(checkpoint_dir, "metadata")) as f:
                     _tag["t"] = _json.load(f)["id"].replace("-", "")[:12]
-            except Exception:  # non-local checkpoint URI → fall back to path hash
-                _tag["t"] = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+            except FileNotFoundError as e:
+                # A path-stable fallback would be WRONG here: a fresh stream
+                # (checkpoint deleted-and-recreated at the same path) restarts
+                # batch ids at 0, and under a path-derived tag its first
+                # batches would be skipped as already-committed replays of the
+                # prior stream — silent data loss.  The metadata file exists
+                # before the first foreachBatch call on every Spark local/HDFS
+                # checkpoint; a non-local URI must supply the tag differently.
+                raise RuntimeError(
+                    f"cannot read stream id from {checkpoint_dir}/metadata; "
+                    "refusing a path-derived group tag (would alias a fresh "
+                    "stream's batch 0 onto a prior stream's committed groups)"
+                ) from e
         return _tag["t"]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

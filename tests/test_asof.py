@@ -78,3 +78,21 @@ def test_asof_keyless_global_join(spark):
     )
     got = asof_join(left, right, on=[], ts_col="ts").collect()
     assert got[0].r_v == 7
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """DuckDB ASOF (r.ts <= l.ts) is NULL-false; Spark's nulls-first ASC
+    sort would otherwise carry a NULL-ts right row into every frame
+    (advice finding r2)."""
+    left = spark.createDataFrame([("u1", _ts(10))], "k string, ts_s string").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 99), ("u1", _ts(3), 30)], "k string, ts_s string, v int"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    got = asof_join(left, right, on="k").collect()
+    assert got[0].r_v == 30  # NULL-ts row must not win (nor ever match)
+
+    only_null = right.filter(F.col("v") == 99)
+    got2 = asof_join(left, only_null, on="k").collect()
+    assert got2[0].r_v is None

@@ -224,3 +224,20 @@ def test_java_only_regex_does_not_crash_plan(spark, targets):
         ],
     ).collect()
     assert {r.region: r.zone for r in out} == {"us-east": "east", "eu-west": None}
+
+
+def test_replace_dangling_dollar_is_literal(spark, targets):
+    """RE2 Expand emits a '$' not starting a group reference literally;
+    Java regexp_replace throws on it — must be escaped at plan time
+    (advice finding r2)."""
+    out = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="replace", source_labels=("name",), regex="(.*)",
+                target_label="price", replacement="$1 costs 5$",
+            )
+        ],
+    ).collect()
+    got = {r.name: r.price for r in out}
+    assert got["node_cpu"] == "node_cpu costs 5$"
