@@ -101,28 +101,37 @@ def minhash_signatures(
     return out.select("id", F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig"))
 
 
-def lsh_bands(sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+def lsh_bands(
+    sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4, mode: str = "native"
+) -> DataFrame:
     """(id, band, bucket): hash each signature band — ids sharing (band,
-    bucket) are candidate near-dups.  Bucket key is the banded xxhash64 so
-    the join key is small and uniform."""
+    bucket) are candidate near-dups.  ``native`` buckets are the banded
+    xxhash64 (small uniform join key — the scale path); ``portable``
+    buckets are the '-'-joined band values verbatim, so an independent
+    engine (the DuckDB oracle) regenerates them exactly (xxhash64 is
+    Spark-only, and a 2⁻⁶⁴ hash collision would add a candidate the oracle
+    can't see)."""
     out = []
     for b in range(bands):
         sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        out.append(
-            sig_df.select(
-                "id", F.lit(b).alias("band"), F.xxhash64(sl).alias("bucket")
-            )
+        bucket = (
+            F.xxhash64(sl).cast("string")
+            if mode == "native"
+            else F.array_join(sl.cast("array<string>"), "-")
         )
+        out.append(sig_df.select("id", F.lit(b).alias("band"), bucket.alias("bucket")))
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)
     return res
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4, mode: str = "native"
+) -> DataFrame:
     """(id_a, id_b) candidate pairs: equi-join on (band, bucket), a < b,
     distinct.  This is the scale path — pair count ≈ collisions, not n²."""
-    bk = lsh_bands(sig_df, bands, rows_per_band)
+    bk = lsh_bands(sig_df, bands, rows_per_band, mode=mode)
     a = bk.alias("a")
     b = bk.alias("b")
     return (
@@ -141,16 +150,35 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     mode: str = "native",
     candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard): exact n-gram Jaccard over distinct shingle sets.
 
     Without ``candidates`` this self-joins on shingle (all co-shingled pairs
     — fine at verification scale, quadratic in the worst case); at 100 TB
     pass ``lsh_candidate_pairs`` output to verify only LSH survivors.
-    """
+
+    ``max_df`` caps shingle document frequency for the SELF-JOIN side only:
+    a stopword-heavy shingle shared by 10⁵ docs would create a 10¹⁰-row join
+    bucket — the standard MinHash-pipeline bound drops h with df > τ before
+    pairing.  Union sizes stay UNCAPPED, so the cap can only shrink the
+    intersection count: reported jaccard ≤ true jaccard, which provably
+    cannot create false positives at any threshold (it costs recall on
+    pairs whose overlap is mostly hot shingles — document the τ you pick).
+    The hot set is df > τ by construction (≤ |shingles|/τ rows), so it
+    broadcasts."""
     sh = shingle_hashes(df, id_col, text_col, n=n, mode=mode).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    join_sh = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        join_sh = sh.join(F.broadcast(hot), on="h", how="left_anti")
+    a, b = join_sh.alias("a"), join_sh.alias("b")
     inter = (
         a.join(b, on="h")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -210,6 +238,7 @@ def dedup_corpus(
     jaccard_threshold: float = 0.5,
     mode: str = "raw",
     candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """The full dedup ladder composed end-to-end (the corpus-clean pass):
 
@@ -225,7 +254,7 @@ def dedup_corpus(
     survivors = dedup_keep_canonical(df, id_col, text_col)
     pairs = ngram_jaccard_pairs(
         survivors, id_col, text_col, threshold=jaccard_threshold, mode=mode,
-        candidates=candidates,
+        candidates=candidates, max_df=max_df,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return survivors.join(drops, on=id_col, how="left_anti")

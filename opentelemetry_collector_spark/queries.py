@@ -1151,9 +1151,11 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                || ' ' || string_split(text,' ')[i+2])) AS h
       FROM docs),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 64),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      WHERE a.h NOT IN (SELECT h FROM hot)
       GROUP BY 1, 2),
     drops AS (
       SELECT DISTINCT id_b FROM inter
@@ -1165,14 +1167,138 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed corpus-clean pass: exact dedup (min-id canonical) then
-    greedy near-dup prune at Jaccard ≥ 0.5 (smaller id wins).  The gate
-    runs the exact verify; at scale the same function takes LSH candidates
-    (operators.dedup.dedup_corpus docstring)."""
+    greedy near-dup prune at Jaccard ≥ 0.5 (smaller id wins), with the
+    hot-shingle df cap (τ=64) bounding the verify join's worst bucket —
+    union sizes stay uncapped so the cap can only LOWER jaccard (no false
+    positives).  The LSH-gated composition is ``dedup_corpus_keep_lsh``."""
     from .operators.dedup import dedup_corpus
 
     d = _t(spark, sf_dir, "documents")
-    return dedup_corpus(d, "doc_id", "text", jaccard_threshold=0.5, mode="raw").select(
-        "doc_id", "source"
+    return dedup_corpus(
+        d, "doc_id", "text", jaccard_threshold=0.5, mode="raw", max_df=64
+    ).select("doc_id", "source")
+
+
+# Shared oracle CTE chain for the LSH-gated corpus-clean pass: exact-dedup
+# canonicals → portable minhash (k=16) → 4×4 banded candidates (bucket =
+# '-'-joined band values, regenerated verbatim — no engine hash) → df-capped
+# exact Jaccard verify gated to candidates.  Mirrors operators.dedup
+# minhash_signatures/lsh_candidate_pairs(mode='portable')/ngram_jaccard_pairs.
+_CORPUS_LSH_CTES = f"""
+    canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    docs AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN canon USING (doc_id)),
+    words AS (SELECT doc_id, {{codes}} AS codes FROM docs),
+    msh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(codes)-1, 1)), i ->
+        (((codes[i]*31 + codes[i+1]) % 1000000007) * 31 + codes[i+2]) % 1000000007)) AS h
+      FROM words),
+    mh AS (
+      SELECT doc_id, k, min(((2*k+1) * (h % 2147483647) + k*97) % 2147483647) AS minhash
+      FROM msh, range(16) t(k) GROUP BY doc_id, k),
+    bands AS (
+      SELECT doc_id, CAST(k // 4 AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY k) AS bucket
+      FROM mh GROUP BY doc_id, k // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                AND a.doc_id < b.doc_id),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2])) AS h
+      FROM docs),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 64),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      WHERE a.h NOT IN (SELECT h FROM hot)
+      GROUP BY 1, 2),
+    gated AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+      FROM inter
+      JOIN cand USING (id_a, id_b)
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5)
+"""
+
+
+@_q(
+    "dedup_corpus_keep_lsh",
+    "WITH " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL) + """
+    SELECT doc_id, source FROM docs
+    WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM gated)
+    """,
+)
+def dedup_corpus_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped corpus-clean pass: exact dedup → minhash-LSH
+    candidate pairs (4 bands × 4 rows, equi-join on (band, bucket)) →
+    df-capped exact-Jaccard verify of CANDIDATES ONLY → greedy prune.
+    Every pair join is an equi-join sized by collisions, never n²; the
+    recall the LSH gate trades away is measured by ``dedup_corpus_recall``."""
+    from .operators.dedup import (
+        dedup_corpus,
+        dedup_keep_canonical,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    surv = dedup_keep_canonical(d, "doc_id", "text")
+    sig = minhash_signatures(surv, "doc_id", "text", k=16, mode="portable")
+    cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=4, mode="portable")
+    return dedup_corpus(
+        d, "doc_id", "text", jaccard_threshold=0.5, mode="raw",
+        candidates=cand, max_df=64,
+    ).select("doc_id", "source")
+
+
+@_q(
+    "dedup_corpus_recall",
+    "WITH " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL) + """
+    , truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM truth JOIN cand USING (id_a, id_b)) AS BIGINT) AS n_hit,
+           ROUND(CAST((SELECT count(*) FROM truth JOIN cand USING (id_a, id_b)) AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 4) AS recall
+    """,
+)
+def dedup_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-recall audit of the minhash-LSH gate in the corpus-clean
+    pass: of the df-capped exact near-dup pairs at τ=0.5, how many survive
+    banded candidate generation (1 row: n_true, n_hit, recall).  The
+    ground-truth side is the un-gated verify — run at small SF only."""
+    from .operators.dedup import (
+        dedup_keep_canonical,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    surv = dedup_keep_canonical(d, "doc_id", "text")
+    truth = ngram_jaccard_pairs(
+        surv, "doc_id", "text", n=3, threshold=0.5, mode="raw", max_df=64
+    ).select("id_a", "id_b")
+    sig = minhash_signatures(surv, "doc_id", "text", k=16, mode="portable")
+    cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=4, mode="portable")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").cast("long").alias("n_true"))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+        )
     )
 
 
@@ -1244,9 +1370,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                || ' ' || string_split(text,' ')[i+2])) AS h
       FROM documents WHERE doc_id < 200),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 64),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      WHERE a.h NOT IN (SELECT h FROM hot)
       GROUP BY 1, 2)
     SELECT id_a, id_b,
            ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
@@ -1257,11 +1385,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs (raw shingles, exact set semantics)."""
+    """n-gram Jaccard near-dup pairs (raw shingles, exact set semantics),
+    hot-shingle df cap τ=64 on the pair join (sizes uncapped — the cap
+    only lowers jaccard, so thresholding can't gain false positives)."""
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2, mode="raw")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, mode="raw", max_df=64
+    )
 
 
 def _lsh_bucket_sql(bits: int = 8, dim: int = 64, plane_offset: int = 0) -> str:
@@ -1752,6 +1884,9 @@ _DRIVER_PRIORITY = [
     "relabel_chain",
     "dedup_ngram_jaccard",
     "dedup_corpus_keep",
+    # new this round — never driver-tested
+    "dedup_corpus_keep_lsh",
+    "dedup_corpus_recall",
 ]
 
 

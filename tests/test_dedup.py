@@ -183,3 +183,51 @@ def test_short_docs_yield_no_shingles_not_crash(spark):
 
     assert dedup_corpus(df, "doc_id", "text").count() == 5
     assert contamination_pairs(df, df.filter("doc_id = 2"), "doc_id", "text").count() == 0
+
+
+def test_max_df_cap_bounds_hot_shingle_join(spark):
+    """A degenerate corpus — 1000 docs all sharing ONE stopword shingle —
+    must stay sub-quadratic under the df cap: the hot shingle is dropped
+    from the pair join, so zero candidate intersections survive (without
+    the cap this join bucket is 1000²/2 ≈ 500k pairs)."""
+    rows = [(i, f"the of and unique{i}a unique{i}b unique{i}c") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, mode="raw", max_df=10
+    )
+    assert capped.count() == 0
+    # sanity: WITHOUT the cap the hot shingle pairs everything with everything
+    sample = df.filter(F.col("doc_id") < 40)
+    uncapped = ngram_jaccard_pairs(
+        sample, "doc_id", "text", n=3, threshold=0.0, mode="raw"
+    )
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_max_df_cap_never_adds_false_positives(spark, docs):
+    """Union sizes stay uncapped, so the capped jaccard is a lower bound:
+    capped pairs ⊆ uncapped pairs at any threshold, values ≤ uncapped."""
+    unc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2, mode="raw"
+        ).collect()
+    }
+    cap = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2, mode="raw", max_df=3
+        ).collect()
+    }
+    assert set(cap) <= set(unc)
+    for pair, j in cap.items():
+        assert j <= unc[pair] + 1e-9
+
+
+def test_portable_lsh_buckets_match_native_pairs(spark, docs):
+    """mode='portable' (verbatim '-'-joined band values, oracle-regenerable)
+    must produce the same candidate pair set as the xxhash64 buckets."""
+    sig = minhash_signatures(docs, "doc_id", "text", k=16, mode="portable")
+    nat = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, 4, 4, mode="native").collect()}
+    por = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, 4, 4, mode="portable").collect()}
+    assert nat == por and len(por) > 0

@@ -174,6 +174,7 @@ _PYTHON_OK = {"mm_decode_features", "mm_resize", "pack_sequences", "chunk_token_
 _NESTED_LOOP_OK = {
     "ann_cosine_topk",        # brute-force baseline: broadcast queries × all vectors
     "dedup_embedding_recall",  # recall audit: all-pairs GROUND TRUTH side, small-SF only
+    "dedup_corpus_recall",     # recall audit: 1-row × 1-row count crossJoin
 }
 
 
