@@ -436,6 +436,64 @@ def ivf_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means refinement of IVF seed centroids, engineered so an
+    independent engine (the DuckDB oracle) reproduces the refined centroids
+    BIT-FOR-BIT:
+
+    - vectors are quantized once to integers qᵢ = round(vᵢ·scale, 0) — both
+      engines round half away from zero (verified), and integer sums are
+      EXACT, so the per-cell per-dim sum is order-independent (a raw double
+      sum would differ in the last ulp between engines/partitionings);
+    - each refined component is ONE correctly-rounded IEEE division
+      s/(n·scale) — no further rounding needed, both engines get the same
+      double;
+    - assignment reuses ``ivf_cell`` (argmax of cos rounded to 6, cid-ASC
+      tie-break) — the same deterministic rule the probe uses.
+
+    Driver-side cost per iteration: one groupBy(cell) with dim+1 partially
+    aggregated sums and a #centroids-row collect — the same "config-sized
+    collect" class as a route table.  Empty cells keep their previous
+    centroid (the standard Lloyd convention)."""
+    if not centroids:
+        raise ValueError("kmeans_refine requires seed centroids")
+    dim = len(centroids[0][1])
+    staged = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_n"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("_q"),
+    )
+    cents = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    for _ in range(iters):
+        assigned = staged.select(
+            ivf_cell(F.col(vec_col), cents, vec_norm=F.col("_n")).alias("cell"), "_q"
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("_q", d + 1)).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        refined = {
+            int(r["cell"]): [r[f"s{d}"] / (r["n"] * scale) for d in range(dim)]
+            for r in rows
+        }
+        cents = [(cid, refined.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -1573,6 +1573,73 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(v, q, centroids, k=5)
 
 
+@_q(
+    "ann_ivf_refined",
+    f"""
+    WITH seeds AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    a0 AS (
+      SELECT v.vec_id, s.cid, ROUND({_cos_sql('v', 's', bcol='cvec')}, 6) AS ccos
+      FROM embeddings v, seeds s),
+    cell0 AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM a0) WHERE rn = 1),
+    qv AS (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings),
+    comp AS (
+      SELECT c0.cell, t.i AS d,
+             CAST(sum(qv.q[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM qv JOIN cell0 c0 USING (vec_id), range(1, 65) t(i)
+      GROUP BY 1, 2),
+    refined AS (
+      SELECT cell AS cid, list(CAST(s AS DOUBLE) / (n * 1000) ORDER BY d) AS cvec
+      FROM comp GROUP BY cell),
+    cents AS (
+      SELECT s.cid, COALESCE(r.cvec, s.cvec_d) AS cvec
+      FROM (SELECT cid, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec_d FROM seeds) s
+      LEFT JOIN refined r USING (cid)),
+    a1 AS (
+      SELECT v.vec_id, c.cid, ROUND({_cos_sql('v', 'c', bcol='cvec')}, 6) AS ccos
+      FROM embeddings v, cents c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM a1) WHERE rn = 1),
+    vv AS (SELECT v.vec_id, v.embedding, cells.cell
+           FROM embeddings v JOIN cells USING (vec_id)),
+    qq AS (SELECT vec_id AS query_id, embedding AS qvec, cell FROM vv WHERE vec_id < 3),
+    scored AS (
+      SELECT qq.query_id, vv.vec_id AS neighbor_id,
+             ROUND({_cos_sql('qq', 'vv', acol='qvec')}, 4) AS cos
+      FROM vv JOIN qq ON vv.cell = qq.cell AND vv.vec_id <> qq.query_id)
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with one Lloyd k-means refinement of the seed centroids.
+    The refinement is cross-engine deterministic (integer-quantized exact
+    sums + one IEEE division per component — operators.similarity.
+    kmeans_refine docstring), so the oracle replays seed-assignment →
+    centroid update → re-assignment → probe → rank entirely in SQL and the
+    refined cells must match bit-for-bit."""
+    from .operators.similarity import ivf_cosine_topk, kmeans_refine
+
+    v = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in v.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    refined = kmeans_refine(v, seeds, iters=1)
+    q = v.filter(F.col("vec_id") < 3)
+    return ivf_cosine_topk(v, q, refined, k=5)
+
+
 @_q("ann_lsh_bucketed", None)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketing (the ANN scale path: rank within bucket)."""
@@ -1887,6 +1954,7 @@ _DRIVER_PRIORITY = [
     # new this round — never driver-tested
     "dedup_corpus_keep_lsh",
     "dedup_corpus_recall",
+    "ann_ivf_refined",
 ]
 
 

@@ -148,3 +148,51 @@ def test_arrow_topk_matches_builtin(spark, vectors):
     assert set(builtin) == set(arrow)
     for key in builtin:
         assert abs(builtin[key] - arrow[key]) < 1e-3
+
+
+def test_kmeans_refine_improves_or_matches_seed_recall(spark, vectors):
+    """Lloyd refinement must not hurt IVF recall@k vs exact top-k; on a
+    deliberately bad seed set (4 adjacent ring vectors = clumped seeds)
+    it should strictly help cell balance."""
+    from opentelemetry_collector_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        kmeans_refine,
+    )
+
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in vectors.filter(F.col("vec_id") < 4).collect()
+    ]
+    refined = kmeans_refine(vectors, seeds, iters=2)
+    assert [c for c, _ in refined] == [c for c, _ in seeds]  # ids preserved
+    assert any(rv != sv for (_, rv), (_, sv) in zip(refined, seeds))  # moved
+
+    q = vectors.filter(F.col("vec_id") < 6)
+    truth = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(vectors, q, k=3).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_cosine_topk(vectors, q, cents, k=3).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_seed, r_ref = recall(seeds), recall(refined)
+    assert r_ref >= r_seed, (r_seed, r_ref)
+
+
+def test_kmeans_refine_is_deterministic_under_parallelism(spark, vectors):
+    """The integer-quantized sums make refinement independent of partition
+    count / accumulation order — same centroids at 1 and 16 partitions."""
+    from opentelemetry_collector_spark.operators.similarity import kmeans_refine
+
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in vectors.filter(F.col("vec_id") < 4).collect()
+    ]
+    a = kmeans_refine(vectors.coalesce(1), seeds, iters=2)
+    b = kmeans_refine(vectors.repartition(16), seeds, iters=2)
+    assert a == b  # bit-for-bit, not approximately
