@@ -52,6 +52,15 @@ HEADLINE = [
     "join_asof",
     "text_contamination",
     "win_sliding_counts",
+    # r3 additions: every key slower than ~0.3 s at sf0.1 is benched so
+    # regressions are visible round-over-round (VERDICT r2 task 5)
+    "time_rollup_cascade",
+    "dedup_corpus_keep",
+    "dedup_corpus_keep_lsh",
+    "mm_resize",
+    "pack_sequences",
+    "ann_ivf_topk",
+    "ann_ivf_refined",
 ]
 
 

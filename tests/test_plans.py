@@ -193,3 +193,39 @@ def test_all_keys_plan_hygiene(spark):
         if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and key not in _NESTED_LOOP_OK:
             failures.append(f"{key}: cartesian/nested-loop join")
     assert not failures, failures
+
+
+def test_aqe_skew_join_splits_skewed_partition(spark):
+    """SURVEY §4 claims AQE skewJoin covers the join side of the zipf head;
+    assert it actually fires: a 90 %-one-key sort-merge join with
+    test-scaled thresholds must show skew=true in the final adaptive plan
+    (at 100 TB the same mechanism splits the hot source's shuffle
+    partition instead of stalling one reducer)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(100_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = big.join(dim, "k").groupBy().agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+        [row] = j.collect()
+        assert row.n == 100_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
