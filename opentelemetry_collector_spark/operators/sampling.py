@@ -125,3 +125,82 @@ def tail_sample(
 def dropped_traces(df: DataFrame, sampled: DataFrame, trace_col: str) -> DataFrame:
     """Audit view of dropped traces: anti join against the kept set."""
     return df.join(sampled.select(trace_col).distinct(), on=trace_col, how="left_anti")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling (engine extension — the
+    training-data mixing primitive): keep a row iff its portable id-bucket
+    falls under its stratum's threshold.
+
+    Unlike ``DataFrame.sampleBy`` (RNG-seeded, partition-order dependent)
+    the decision is a pure function of (id, stratum fraction): reruns,
+    retries, and any engine reproduce the same sample — the property that
+    makes a 100 TB sampling job resumable and its oracle checkable.  One
+    codegen filter, no shuffle; the fractions map is plan-time config
+    (route-table-sized)."""
+    thresholds = {v: int(round(f * NUM_SAMPLER_BUCKETS)) for v, f in fractions.items()}
+    return _stratified_filter(
+        df, strata_col, id_col, thresholds, int(round(default_fraction * NUM_SAMPLER_BUCKETS))
+    )
+
+
+def _stratified_filter(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    thresholds: dict[str, int],
+    default_threshold: int = 0,
+) -> DataFrame:
+    """Keep rows with portable_bucket(id) < thresholds[stratum] — one
+    codegen filter built from a chained CASE (plan-time config)."""
+    bucket = portable_bucket(F.col(id_col), NUM_SAMPLER_BUCKETS)
+    thr = F.lit(int(default_threshold))
+    for value, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == F.lit(value), F.lit(int(t))).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target_weights: dict[str, float],
+    total_fraction: float = 1.0,
+) -> DataFrame:
+    """Rebalance a corpus toward target source weights by deterministic
+    downsampling (the "data mixing" step before pretraining).
+
+    Per-stratum acceptance = min(1, total_fraction · target_share · N /
+    count_s) — the largest sample ≤ total_fraction·N whose kept rows
+    approach the target mixture without ever UPsampling.  Counts come from
+    one aggregate pass (#strata rows collected — config-sized, like a route
+    table); the sample itself is the same one-pass portable-hash filter as
+    ``stratified_sample``.
+
+    Thresholds are computed in EXACT rational arithmetic
+    (floor(buckets · tf · w · N / n), python Fractions — no float round
+    whose half-tie behavior an independent engine could disagree on), so
+    with dyadic weights the DuckDB oracle reproduces them with integer
+    division."""
+    from fractions import Fraction
+
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    thresholds = {}
+    for s, n in counts.items():
+        f = Fraction(total_fraction) * Fraction(target_weights.get(s, 0.0)) * n_total
+        thresholds[s] = (
+            min(NUM_SAMPLER_BUCKETS, (NUM_SAMPLER_BUCKETS * f.numerator) // (f.denominator * n))
+            if n
+            else 0
+        )
+    return _stratified_filter(df, strata_col, id_col, thresholds)

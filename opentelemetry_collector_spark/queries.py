@@ -495,6 +495,58 @@ def sample_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_stratified",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE ((doc_id % 100003) * 2654435761) % 16384 <
+      (CASE source WHEN 'src0' THEN 8192 WHEN 'src1' THEN 4096
+                   WHEN 'src2' THEN 1638 ELSE 819 END)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (training-data mixing
+    primitive): keep-decision is a pure function of (doc_id, source
+    fraction) — rerun/retry/engine-independent, unlike RNG sampleBy.  One
+    codegen filter, no shuffle."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.1}, "doc_id",
+        default_fraction=0.05,
+    ).select("doc_id", "source")
+
+
+@_q(
+    "sample_mixture",
+    """
+    WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+    thr AS (
+      SELECT s, LEAST(16384, (2048 * nt) // n) AS t
+      FROM c, tot WHERE s IN ('src0', 'src1', 'src2', 'src5'))
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN thr ON thr.s = d.source
+    WHERE ((d.doc_id % 100003) * 2654435761) % 16384 < thr.t
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing (the data-mixing step before pretraining): keep
+    ≤ 50 % of the corpus, rebalanced toward a uniform 4-source target
+    mixture, never upsampling.  Per-stratum thresholds come from one
+    count aggregate + exact rational arithmetic (floor(buckets·tf·w·N/n)),
+    so the oracle reproduces them with integer division; the sample itself
+    is the same portable-hash codegen filter as ``sample_stratified``."""
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    w = {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src5": 0.25}
+    return mixture_sample(d, "source", "doc_id", w, total_fraction=0.5).select(
+        "doc_id", "source"
+    )
+
+
+@_q(
     "tail_sample_semi_join",
     """
     SELECT e.event_id, e.user_id, e.event_type, ROUND(e.value, 4) AS value
@@ -1360,6 +1412,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=3)
 
 
+ORACLES["dedup_components"] = f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents WHERE doc_id < 500),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM words),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS comp FROM nodes
+      UNION
+      SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node)
+    SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+    FROM reach GROUP BY node
+"""
+
+
+@_q("dedup_components", None)  # oracle registered above (recursive CTE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS: connected components of the banded
+    simhash pair graph (hamming ≤ 3) — the step after pair search that a
+    real corpus dedup needs ("keep one doc per component", not greedy
+    pairwise pruning).  Min-label propagation + pointer jumping, every
+    round an equi-join/keyed-agg (operators/components.py); the oracle
+    computes min-reachable-id independently via a recursive CTE."""
+    from .operators.components import connected_components
+    from .operators.dedup import simhash, simhash_banded_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sig = simhash(d, "doc_id", "text", bits=16)
+    pairs = simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=3)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 @_q(
     "dedup_ngram_jaccard",
     """
@@ -1955,6 +2047,9 @@ _DRIVER_PRIORITY = [
     "dedup_corpus_keep_lsh",
     "dedup_corpus_recall",
     "ann_ivf_refined",
+    "dedup_components",
+    "sample_stratified",
+    "sample_mixture",
 ]
 
 

@@ -96,3 +96,70 @@ def test_tail_sample_rate_limit(spark):
     )
     kept = sorted(r.trace_id for r in out.collect())
     assert kept == ["t0", "t1", "t2"]  # first 3 in arrival order within the second
+
+
+def test_stratified_sample_matches_python_reference(spark):
+    from opentelemetry_collector_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    fr = {"s0": 0.5, "s1": 0.1}
+    got = {r.id for r in stratified_sample(df, "grp", fr, "id", default_fraction=0.02).collect()}
+
+    def bucket(i):
+        return ((i % 100003) * 2654435761) % 16384
+
+    want = {
+        i
+        for i, g in rows
+        if bucket(i) < int(round(fr.get(g, 0.02) * 16384))
+    }
+    assert got == want and 0 < len(got) < 3000
+
+
+def test_stratified_sample_deterministic_under_partitioning(spark):
+    from opentelemetry_collector_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(2000)]
+    fr = {"s0": 0.4, "s1": 0.2, "s2": 0.1}
+    a = {
+        r.id
+        for r in stratified_sample(
+            spark.createDataFrame(rows, "id long, grp string").coalesce(1), "grp", fr, "id"
+        ).collect()
+    }
+    b = {
+        r.id
+        for r in stratified_sample(
+            spark.createDataFrame(rows, "id long, grp string").repartition(16), "grp", fr, "id"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_mixture_sample_rebalances_without_upsampling(spark):
+    from opentelemetry_collector_spark.operators.sampling import mixture_sample
+
+    # heavily skewed corpus: s0 has 8x the rows of s1/s2
+    rows = [(i, "s0") for i in range(1600)] + [(2000 + i, "s1") for i in range(200)] + [
+        (3000 + i, "s2") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = mixture_sample(df, "grp", "id", {"s0": 1 / 2, "s1": 1 / 4, "s2": 1 / 4}, total_fraction=0.25)
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # never upsample: every stratum keeps <= its original rows
+    assert counts.get("s1", 0) <= 200 and counts.get("s2", 0) <= 200
+    # the head stratum is cut much harder than its original 80% share
+    total = sum(counts.values())
+    assert counts["s0"] / total < 0.6
+    # deterministic: rerun == same sample
+    out2 = mixture_sample(df, "grp", "id", {"s0": 1 / 2, "s1": 1 / 4, "s2": 1 / 4}, total_fraction=0.25)
+    assert {r.id for r in out.collect()} == {r.id for r in out2.collect()}
+
+
+def test_stratified_plan_is_single_codegen_filter(spark):
+    from opentelemetry_collector_spark.operators.sampling import stratified_sample
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 3).cast("string").alias("grp"))
+    plan = stratified_sample(df, "grp", {"0": 0.5}, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
