@@ -119,3 +119,39 @@ def test_banded_simhash_equals_all_pairs_on_random_sigs(spark, sigs):
         for r in simhash_banded_pairs(df, bits=16, bands=4, max_hamming=3).collect()
     }
     assert band == allp
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a pure-python union-find
+# ---------------------------------------------------------------------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30))
+    .filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=_edge_lists)
+@SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    from opentelemetry_collector_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
