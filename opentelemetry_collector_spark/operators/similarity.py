@@ -369,21 +369,29 @@ def ivf_cell(
     norm appears once per centroid in this expression, and HOFs block CSE,
     so an inline ``norm(vec)`` is recomputed per centroid (k extra array
     traversals per row)."""
+    import numpy as np
+
     if not centroids:
         raise ValueError("ivf_cell requires at least one centroid")
     vn = vec_norm if vec_norm is not None else norm(vec)
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))
-                    / (vn * F.lit(sum(float(x) ** 2 for x in cvec) ** 0.5)),
-                    round_to,
-                ).alias("cos"),
-                F.lit(-cid).alias("negcid"),
-            )
-            for cid, cvec in centroids
-        ]
+    # Plan-size note: k separate aggregate trees each dragging its own
+    # dim-literal array made driver-side Column construction + Catalyst
+    # analysis the dominant cost of the IVF keys (same trap as
+    # _planes_lit).  numpy literals convert ~4× faster through py4j, and
+    # ONE transform over an array-of-arrays literal keeps the plan O(1) in
+    # k.  Norms are precomputed in Python with the same left-to-right sum
+    # as before, so the embedded doubles — and the oracle — are unchanged.
+    cvecs = F.array(*[F.lit(np.array([float(x) for x in cvec])) for _, cvec in centroids])
+    cnorms = F.lit(
+        np.array([sum(float(x) ** 2 for x in cvec) ** 0.5 for _, cvec in centroids])
+    )
+    negcids = F.lit(np.array([-int(cid) for cid, _ in centroids], dtype=np.int64))
+    scored = F.transform(
+        cvecs,
+        lambda c, i: F.struct(
+            F.round(dot(vec, c) / (vn * F.element_at(cnorms, i + 1)), round_to).alias("cos"),
+            F.element_at(negcids, i + 1).alias("negcid"),
+        ),
     )
     return (-F.array_max(scored)["negcid"]).cast("int")
 
