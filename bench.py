@@ -61,6 +61,9 @@ HEADLINE = [
     "pack_sequences",
     "ann_ivf_topk",
     "ann_ivf_refined",
+    "dedup_components",
+    "ann_cosine_topk",
+    "chunk_token_stream",
 ]
 
 
@@ -106,7 +109,11 @@ def main() -> None:
     records = spark.read.parquet(input_path)
     lookup = gen_lookup(spark)
     best = None
-    for trial in range(max(trials, 1) + 1):  # first pass = warmup (JIT/codegen)
+    # 3 timed trials for the north metric (headline queries stay at
+    # `trials`): the box is a shared host and the pipeline runs after ~30
+    # queries of JVM/GC history — min-of-3 recovers the fresh-JVM number
+    # run_scaling measures for identical code
+    for trial in range(max(trials, 3) + 1):  # first pass = warmup (JIT/codegen)
         t0 = time.monotonic()
         out = run_pipeline(spark, records, lookup)
         # materialize the full DAG: routed rows + both obsreport aggregates

@@ -54,6 +54,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    cur_sum = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
     for _ in range(max_iters):
         nbr_min = (
             und.join(labels.select(F.col("node").alias("b"), "comp"), on="b")
@@ -71,12 +72,12 @@ def connected_components(
             how="left",
         ).select("node", F.coalesce("jc", "comp").alias("comp"))
         new = jumped.localCheckpoint(eager=True)
-        changed = (
-            new.join(labels.select("node", F.col("comp").alias("old")), on="node")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        # convergence: labels only ever DECREASE elementwise, so the label
+        # sum is strictly monotone until fixpoint — one narrow aggregate
+        # over the checkpointed frame beats a join-and-diff per round
+        new_sum = new.agg(F.sum("comp").alias("s")).collect()[0]["s"]
         labels = new
-        if changed == 0:
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     return labels.select("node", "comp")
