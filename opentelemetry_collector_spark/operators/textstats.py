@@ -124,3 +124,44 @@ def word_codes(text: Column) -> Column:
             lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(MOD)),
         ),
     )
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 quality
+    heuristics — public): per-doc duplicate-word and duplicate-3-gram
+    ratios, the standard "drop boilerplate/looping text" signals run before
+    pretraining.
+
+    Pure codegen over STAGED arrays (two projections — HOFs block CSE, so
+    an un-staged form recomputes the split per reference): no explode, no
+    shuffle, no UDF; a 100 TB corpus pays one narrow map pass.  Returns
+    (id, n_words, uniq_word_ratio, dup_3gram_ratio)."""
+    import pyspark.sql.functions as F
+
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    shingle = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+                F.element_at(w, (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select(F.col(id_col), w.alias("_w"), shingle.alias("_sh"))
+    sh = F.col("_sh")
+    return staged.select(
+        F.col(id_col),
+        F.size(w).alias("n_words"),
+        F.when(
+            F.size(w) > 0, F.round(F.size(F.array_distinct(w)) / F.size(w), 4)
+        ).otherwise(F.lit(None).cast("double")).alias("uniq_word_ratio"),
+        F.when(
+            F.size(sh) > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_3gram_ratio"),
+    )

@@ -1065,6 +1065,36 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS sh
+      FROM t)
+    SELECT doc_id,
+           len(w) AS n_words,
+           CASE WHEN len(w) > 0
+                THEN ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) END
+             AS uniq_word_ratio,
+           CASE WHEN len(sh) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4)
+                ELSE 0.0 END AS dup_3gram_ratio
+    FROM s
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-word / duplicate-3-gram
+    ratios) — the boilerplate/looping-text quality signal run before
+    pretraining.  Pure codegen over staged arrays: no explode, no shuffle."""
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
     "text_lang_id",
     r"""
     WITH s AS (
@@ -2050,6 +2080,7 @@ _DRIVER_PRIORITY = [
     "dedup_components",
     "sample_stratified",
     "sample_mixture",
+    "text_repetition",
 ]
 
 

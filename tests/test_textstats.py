@@ -64,3 +64,18 @@ def test_quality_score_ranges(spark):
     good = _one(spark, "the quick brown fox is one of the best and fast", quality_score(F.col("text")))
     junk = _one(spark, "!!! ??? ***", quality_score(F.col("text")))
     assert 0.0 <= junk < good <= 1.0
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    from opentelemetry_collector_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # pure loop
+        (2, "all words here are fully distinct okay"),  # no repetition
+        (3, "ab"),                                      # < 3 words: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1].dup_3gram_ratio == 0.75 and got[1].uniq_word_ratio == round(1 / 6, 4)
+    assert got[2].dup_3gram_ratio == 0.0 and got[2].uniq_word_ratio == 1.0
+    assert got[3].dup_3gram_ratio == 0.0 and got[3].n_words == 1
