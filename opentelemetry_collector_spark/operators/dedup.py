@@ -110,20 +110,27 @@ def lsh_bands(
     buckets are the '-'-joined band values verbatim, so an independent
     engine (the DuckDB oracle) regenerates them exactly (xxhash64 is
     Spark-only, and a 2⁻⁶⁴ hash collision would add a candidate the oracle
-    can't see)."""
-    out = []
-    for b in range(bands):
+    can't see).
+
+    Plan shape: ONE pass — explode of a bands-length struct array, not a
+    union of per-band selects (the union form re-evaluates the upstream
+    signature subtree once per band; with the minhash aggregation upstream
+    that was bands× the whole shingle pipeline)."""
+
+    def bucket(b: int):
         sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        bucket = (
+        return (
             F.xxhash64(sl).cast("string")
             if mode == "native"
             else F.array_join(sl.cast("array<string>"), "-")
         )
-        out.append(sig_df.select("id", F.lit(b).alias("band"), bucket.alias("bucket")))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+
+    blocks = F.array(
+        *[F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket")) for b in range(bands)]
+    )
+    return sig_df.select("id", F.explode(blocks).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def lsh_candidate_pairs(
@@ -131,7 +138,10 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: equi-join on (band, bucket), a < b,
     distinct.  This is the scale path — pair count ≈ collisions, not n²."""
-    bk = lsh_bands(sig_df, bands, rows_per_band, mode=mode)
+    # the banded frame feeds BOTH sides of the self-join; without persist
+    # Spark re-runs the whole minhash pipeline per side (no cross-branch
+    # CSE, and self-join re-aliasing defeats exchange reuse)
+    bk = lsh_bands(sig_df, bands, rows_per_band, mode=mode).persist()
     a = bk.alias("a")
     b = bk.alias("b")
     return (
@@ -167,7 +177,9 @@ def ngram_jaccard_pairs(
     pairs whose overlap is mostly hot shingles — document the τ you pick).
     The hot set is df > τ by construction (≤ |shingles|/τ rows), so it
     broadcasts."""
-    sh = shingle_hashes(df, id_col, text_col, n=n, mode=mode).distinct()
+    # sh feeds sizes, the df-cap stats, and both sides of the pair join —
+    # persist or the shingle pipeline (split+explode+distinct) re-runs 4×
+    sh = shingle_hashes(df, id_col, text_col, n=n, mode=mode).distinct().persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     join_sh = sh
     if max_df is not None:
@@ -251,7 +263,10 @@ def dedup_corpus(
     At 100 TB pass ``candidates=lsh_candidate_pairs(...)`` so step 2 only
     verifies LSH survivors; without it the verify self-joins on shingles
     (exact, used by the correctness gate at small SF)."""
-    survivors = dedup_keep_canonical(df, id_col, text_col)
+    # survivors feeds the verify pipeline AND the final anti-join (and the
+    # LSH-gated caller's signature path — same canonical plan, same cache
+    # entry); at petabyte scale materialize it to a snapshot table instead
+    survivors = dedup_keep_canonical(df, id_col, text_col).persist()
     pairs = ngram_jaccard_pairs(
         survivors, id_col, text_col, threshold=jaccard_threshold, mode=mode,
         candidates=candidates, max_df=max_df,
@@ -333,7 +348,7 @@ def simhash_banded_pairs(
     )
     bk = sig.select("id", "simhash", F.explode(blocks).alias("bb")).select(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.blk").alias("blk")
-    )
+    ).persist()  # self-joined: without persist the simhash aggregate runs twice
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(b, on=["band", "blk"])

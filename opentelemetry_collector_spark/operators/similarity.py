@@ -270,6 +270,7 @@ def _lsh_candidates(sigs: DataFrame, id_col: str) -> DataFrame:
     """(id_a, id_b) candidate pairs from banded signatures: equi-join on
     (band, sig), a < b, distinct — shared by the production near-dup gate
     and the recall audit so they can never drift apart."""
+    sigs = sigs.persist()  # both sides of the candidate self-join read it
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     return (
@@ -301,7 +302,8 @@ def lsh_neardup_pairs(
     thresholds sign-LSH is deliberately lossy; that is the scale trade."""
     sigs = lsh_band_signatures(vectors, dim, bands, bits, id_col, vec_col)
     cand = _lsh_candidates(sigs, id_col)
-    v = vectors.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
+    # the staged (id, vec, norm) projection joins under BOTH candidate ends
+    v = vectors.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")).persist()
     va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_n").alias("_na"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_n").alias("_nb"))
     return (
