@@ -334,7 +334,9 @@ def lsh_candidate_recall(
     (n_true, n_hit, recall) — of the all-pairs ground-truth pairs at τ,
     how many survive LSH candidate generation.  Run at small SF only
     (the ground truth side is the O(n²) form)."""
-    truth = embedding_neardup_pairs(vectors, threshold, id_col, vec_col, max_id)
+    # truth feeds both its own count and the hit semi-join — persist so the
+    # O(n²) ground-truth join runs once
+    truth = embedding_neardup_pairs(vectors, threshold, id_col, vec_col, max_id).persist()
     v = vectors if max_id is None else vectors.filter(F.col(id_col) < max_id)
     # candidates straight from the band join (shared with lsh_neardup_pairs
     # so the audit measures exactly the production gate) — no need to

@@ -828,9 +828,11 @@ def time_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     # date_trunc returns LTZ; the corpus is NTZ (session TZ pinned UTC) —
     # cast back so the driver's value rendering can't diverge on tz suffix
+    # persist: hourly feeds the union output AND the daily re-aggregation —
+    # without it the raw scan+agg runs twice, defeating the cascade's point
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).persist()
     daily = hourly.groupBy(
         F.date_trunc("day", "bucket").cast("timestamp_ntz").alias("bucket"), "event_type"
     ).agg(F.sum("n").alias("n"))
@@ -1369,7 +1371,7 @@ def dedup_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = dedup_keep_canonical(d, "doc_id", "text")
     truth = ngram_jaccard_pairs(
         surv, "doc_id", "text", n=3, threshold=0.5, mode="raw", max_df=64
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()  # counted AND semi-joined — run once
     sig = minhash_signatures(surv, "doc_id", "text", k=16, mode="portable")
     cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=4, mode="portable")
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
