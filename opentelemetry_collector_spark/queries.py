@@ -1342,6 +1342,54 @@ def dedup_corpus_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_corpus_keep_cc",
+    "WITH RECURSIVE " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL) + """
+    , e2 AS (
+      SELECT id_a AS a, id_b AS b FROM gated
+      UNION ALL SELECT id_b, id_a FROM gated),
+    n2 AS (SELECT DISTINCT a AS node FROM e2),
+    reach AS (
+      SELECT node, node AS comp FROM n2
+      UNION
+      SELECT e2.b AS node, r.comp FROM reach r JOIN e2 ON e2.a = r.node),
+    comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM comp WHERE node <> component)
+    SELECT doc_id, source FROM docs
+    WHERE doc_id NOT IN (SELECT node FROM dropped)
+    """,
+)
+def dedup_corpus_keep_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive corpus clean — the composition a real 100 TB dedup runs:
+    exact dedup → minhash-LSH candidates → df-capped exact verify →
+    CONNECTED COMPONENTS of the surviving pair graph → keep exactly the
+    min-id member of every near-dup cluster.  Unlike the greedy pairwise
+    prune (``dedup_corpus_keep``) this never over-keeps when A≈B, B≈C but
+    A̸≈C.  The oracle replays the whole ladder plus a recursive-CTE
+    closure."""
+    from .operators.components import connected_components
+    from .operators.dedup import (
+        dedup_keep_canonical,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    surv = dedup_keep_canonical(d, "doc_id", "text").persist()
+    sig = minhash_signatures(surv, "doc_id", "text", k=16, mode="portable")
+    cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=4, mode="portable")
+    pairs = ngram_jaccard_pairs(
+        surv, "doc_id", "text", n=3, threshold=0.5, mode="raw",
+        candidates=cand, max_df=64,
+    )
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return surv.join(drops, on="doc_id", how="left_anti").select("doc_id", "source")
+
+
+@_q(
     "dedup_corpus_recall",
     "WITH " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL) + """
     , truth AS (
@@ -2083,6 +2131,7 @@ _DRIVER_PRIORITY = [
     "sample_stratified",
     "sample_mixture",
     "text_repetition",
+    "dedup_corpus_keep_cc",
 ]
 
 
