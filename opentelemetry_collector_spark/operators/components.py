@@ -80,4 +80,11 @@ def connected_components(
         if new_sum == cur_sum:
             break
         cur_sum = new_sum
+    else:
+        # returning unconverged labels would silently split components —
+        # downstream dedup would keep several "canonical" docs per cluster
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            "(pointer jumping needs ~log2(diameter) rounds — raise max_iters)"
+        )
     return labels.select("node", "comp")

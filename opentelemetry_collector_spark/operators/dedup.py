@@ -119,8 +119,10 @@ def lsh_bands(
 
     def bucket(b: int):
         sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        # native keeps the 8-byte long join key (the scale path shuffles and
+        # hash-joins on it); portable pays the string key for oracle parity
         return (
-            F.xxhash64(sl).cast("string")
+            F.xxhash64(sl)
             if mode == "native"
             else F.array_join(sl.cast("array<string>"), "-")
         )

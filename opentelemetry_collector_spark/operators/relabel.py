@@ -89,12 +89,17 @@ def _java_replacement(replacement: str, pattern: str) -> str:
             return f"${ref}" if int(ref) <= n_groups else ""
         return f"${{{ref}}}" if ref in names else ""
 
-    out = re.sub(r"\$\{(\w+)\}|\$(\w+)", sub, replacement)
-    # RE2's Expand emits a dangling '$' (not followed by \w or {) literally;
-    # Java's regexp_replace throws IllegalArgumentException on it at
-    # runtime — escape any '$' that survived group-reference rewriting and
-    # does not itself start a $N/${name} reference we just emitted.
-    return re.sub(r"\$(?!\d|\{\w+\})", r"\\$", out)
+    # RE2 Expand's literal-dollar escape: '$$' → one literal '$'.  Split on
+    # it FIRST so the halves of a '$$' can't be re-parsed as a group
+    # reference ('$$1' means literal '$' + text "1", NOT '$' + group 1);
+    # each segment gets reference rewriting independently, then any '$'
+    # still dangling (RE2 emits it literally, Java throws) is escaped, and
+    # the segments rejoin with the Java-escaped literal dollar.
+    def seg(s: str) -> str:
+        s = re.sub(r"\$\{(\w+)\}|\$(\w+)", sub, s)
+        return re.sub(r"\$(?!\d|\{\w+\})", r"\\$", s)
+
+    return "\\$".join(seg(p) for p in replacement.split("$$"))
 
 
 def _value(rule: RelabelRule) -> Column:

@@ -161,7 +161,10 @@ def _stratified_filter(
     codegen filter built from a chained CASE (plan-time config)."""
     bucket = portable_bucket(F.col(id_col), NUM_SAMPLER_BUCKETS)
     thr = F.lit(int(default_threshold))
-    for value, t in sorted(thresholds.items()):
+    # NULL strata can't match an equality CASE arm (and None won't sort
+    # against str keys) — they take the default threshold like any
+    # unlisted stratum
+    for value, t in sorted((kv for kv in thresholds.items() if kv[0] is not None)):
         thr = F.when(F.col(strata_col) == F.lit(value), F.lit(int(t))).otherwise(thr)
     return df.filter(bucket < thr)
 

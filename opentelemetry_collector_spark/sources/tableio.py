@@ -168,6 +168,9 @@ class ParquetSnapshotIO(TableIO):
             manifest = os.path.join(snap_dir, f"{group_id}.json")
             snapshot_id = f"snap-{group_id}-{uuid.uuid4().hex[:12]}"
             os.makedirs(snap_dir, exist_ok=True)
+            # same commit-ordinal as append_group: snapshot_log's total order
+            # must hold for streaming fan-out commits too
+            seq = len([f for f in os.listdir(snap_dir) if f.endswith(".json")])
             tmp = manifest + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
@@ -175,6 +178,7 @@ class ParquetSnapshotIO(TableIO):
                         "snapshot_id": snapshot_id,
                         "group_id": group_id,
                         "committed_at": time.time(),
+                        "seq": seq,
                         "external_base": fan_base,
                         "external_path": os.path.join(data_dir, f"{part_col}={t}"),
                         "schema": df.schema.json(),

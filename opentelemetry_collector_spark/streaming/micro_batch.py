@@ -112,7 +112,9 @@ def run_stream_pipeline(
             try:
                 with open(_os.path.join(checkpoint_dir, "metadata")) as f:
                     _tag["t"] = _json.load(f)["id"].replace("-", "")[:12]
-            except FileNotFoundError as e:
+            except (OSError, ValueError, KeyError) as e:
+                # OSError: missing/unreadable; ValueError: JSONDecodeError
+                # (truncated mid-crash write); KeyError: no "id" field.
                 # A path-stable fallback would be WRONG here: a fresh stream
                 # (checkpoint deleted-and-recreated at the same path) restarts
                 # batch ids at 0, and under a path-derived tag its first

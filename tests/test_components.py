@@ -48,3 +48,12 @@ def test_deterministic_under_partitioning(spark):
     a = {r.node: r.comp for r in connected_components(df1).collect()}
     b = {r.node: r.comp for r in connected_components(df16).collect()}
     assert a == b
+
+
+def test_unconverged_raises_instead_of_wrong_labels(spark):
+    import pytest
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=2)

@@ -241,3 +241,23 @@ def test_replace_dangling_dollar_is_literal(spark, targets):
     ).collect()
     got = {r.name: r.price for r in out}
     assert got["node_cpu"] == "node_cpu costs 5$"
+
+
+def test_replace_double_dollar_is_re2_literal_escape(spark, targets):
+    """RE2 Expand: '$$' emits ONE literal '$', so '$$1' is literal '$' +
+    text '1' — NOT group 1 (review finding r3)."""
+    out = apply_relabel(
+        targets,
+        [
+            RelabelRule(
+                action="replace", source_labels=("name",), regex="(.*)",
+                target_label="a", replacement="$$1",
+            ),
+            RelabelRule(
+                action="replace", source_labels=("name",), regex="(.*)",
+                target_label="b", replacement="$$$1!",
+            ),
+        ],
+    ).collect()
+    got = {r.name: (r.a, r.b) for r in out}
+    assert got["node_cpu"] == ("$1", "$node_cpu!")

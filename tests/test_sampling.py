@@ -163,3 +163,13 @@ def test_stratified_plan_is_single_codegen_filter(spark):
     df = spark.range(1000).select(F.col("id"), (F.col("id") % 3).cast("string").alias("grp"))
     plan = stratified_sample(df, "grp", {"0": 0.5}, "id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mixture_sample_tolerates_null_stratum(spark):
+    from opentelemetry_collector_spark.operators.sampling import mixture_sample
+
+    rows = [(1, "s0"), (2, "s0"), (3, None), (4, "s1")]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = mixture_sample(df, "grp", "id", {"s0": 0.5, "s1": 0.5}, total_fraction=1.0)
+    got = {r.id for r in out.collect()}
+    assert 3 not in got  # NULL stratum: no target weight, default threshold 0
