@@ -207,3 +207,31 @@ def mixture_sample(
             else 0
         )
     return _stratified_filter(df, strata_col, id_col, thresholds)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the id's portable bucket
+    falls into consecutive threshold ranges sized by ``splits`` fractions
+    (insertion order).  Pure function of the id — the same doc lands in the
+    same split on every rerun, engine, and cluster size, and adding data
+    never moves existing docs between splits (the leakage guarantee an
+    RNG split cannot give).  Fractions must sum to ≤ 1; the remainder
+    (if any) gets NULL (excluded)."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = portable_bucket(F.col(id_col), NUM_SAMPLER_BUCKETS)
+    expr = F.lit(None).cast("string")
+    upper = 0
+    bounds = []
+    for name, frac in splits.items():
+        upper += int(round(frac * NUM_SAMPLER_BUCKETS))
+        bounds.append((name, upper))
+    for name, ub in reversed(bounds):
+        expr = F.when(bucket < F.lit(ub), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

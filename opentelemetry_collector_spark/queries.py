@@ -547,6 +547,33 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN b < 13107 THEN 'train'
+                WHEN b < 14745 THEN 'val'
+                WHEN b < 15564 THEN 'test'
+           END AS split
+    FROM (SELECT doc_id, source,
+                 ((doc_id % 100003) * 2654435761) % 16384 AS b
+          FROM documents)
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/5, 5 % held out as NULL):
+    assignment is a pure function of doc_id, so the same doc lands in the
+    same split on every rerun/engine/cluster size and newly added data
+    never moves existing docs across splits — the leakage guarantee an RNG
+    split can't give."""
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05}
+    ).select("doc_id", "source", "split")
+
+
+@_q(
     "tail_sample_semi_join",
     """
     SELECT e.event_id, e.user_id, e.event_type, ROUND(e.value, 4) AS value
@@ -2132,6 +2159,7 @@ _DRIVER_PRIORITY = [
     "sample_mixture",
     "text_repetition",
     "dedup_corpus_keep_cc",
+    "sample_split",
 ]
 
 

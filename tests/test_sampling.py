@@ -173,3 +173,25 @@ def test_mixture_sample_tolerates_null_stratum(spark):
     out = mixture_sample(df, "grp", "id", {"s0": 0.5, "s1": 0.5}, total_fraction=1.0)
     got = {r.id for r in out.collect()}
     assert 3 not in got  # NULL stratum: no target weight, default threshold 0
+
+
+def test_hash_split_is_stable_under_data_growth(spark):
+    """Adding new rows must never move existing rows between splits."""
+    from opentelemetry_collector_spark.operators.sampling import hash_split
+
+    small = spark.range(500).select(F.col("id"))
+    big = spark.range(2000).select(F.col("id"))
+    splits = {"train": 0.8, "val": 0.2}
+    a = {r.id: r.split for r in hash_split(small, "id", splits).collect()}
+    b = {r.id: r.split for r in hash_split(big, "id", splits).collect()}
+    assert all(b[i] == a[i] for i in a)
+    assert set(b.values()) == {"train", "val"}  # fractions sum to 1: no NULLs
+
+
+def test_hash_split_rejects_oversubscribed_fractions(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.sampling import hash_split
+
+    with pytest.raises(ValueError, match="> 1"):
+        hash_split(spark.range(10), "id", {"a": 0.7, "b": 0.5})
