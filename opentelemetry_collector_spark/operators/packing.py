@@ -98,19 +98,30 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     source_col: str = "source",
+    salt_mode: str = "native",
 ) -> DataFrame:
     """Pack sequences into ≤max_len training bins, parallel by (source, salt).
 
     Deterministic for a fixed (input, max_len, salt_buckets): the salt is a
     pure hash of doc_id and each group sorts internally — re-running at any
-    cluster size yields identical packs.
+    cluster size yields identical packs.  ``salt_mode='portable'`` uses the
+    integer-arithmetic bucket an independent engine can regenerate (the
+    DuckDB oracle replays the greedy walk with a recursive CTE); 'native'
+    keeps the xxhash64 salt for the hot path.
     """
+    from ..functions.hashing import portable_bucket
+
+    salt = (
+        F.pmod(F.xxhash64(id_col), F.lit(salt_buckets))
+        if salt_mode == "native"
+        else portable_bucket(F.col(id_col), salt_buckets)
+    )
     salted = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(tokens_col).alias("tokens"),
         F.col(source_col).alias("source"),
         F.size(tokens_col).cast("int").alias("n_tok"),
-        F.pmod(F.xxhash64(id_col), F.lit(salt_buckets)).cast("int").alias("salt"),
+        salt.cast("int").alias("salt"),
     )
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -119,13 +130,23 @@ def pack_sequences(
     return salted.groupBy("source", "salt").applyInPandas(apply, PACK_SCHEMA)
 
 
-def packing_stats(packed: DataFrame) -> DataFrame:
-    """Fill-efficiency report per source (waste audit for the packing run)."""
+def packing_stats(packed: DataFrame, max_len: int | None = None) -> DataFrame:
+    """Fill-efficiency report per source (waste audit for the packing run).
+
+    With ``max_len``, avg_fill = sum(n_tok)/(n_packs·max_len) computed from
+    EXACT integer sums (deterministic across engines/orders — every pack
+    holds ≤ max_len tokens, so this equals the mean per-pack fill before
+    rounding); without it, the mean of the per-pack rounded ratios."""
+    avg_fill = (
+        F.round(F.avg("fill_ratio"), 4)
+        if max_len is None
+        else F.round(F.sum("n_tok") / F.count(F.lit(1)) / F.lit(max_len), 4)
+    )
     return packed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_packs"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_tok").alias("n_tok"),
-        F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
+        avg_fill.alias("avg_fill"),
     )
 
 

@@ -2024,10 +2024,46 @@ def token_freq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_freq_topk(_t(spark, sf_dir, "documents"), "text", 50)
 
 
-@_q("pack_sequences", None)  # order-dependent stateful packing — rows-only
+@_q(
+    "pack_sequences",
+    """
+    WITH RECURSIVE d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+             CAST(((doc_id % 100003) * 2654435761) % 8 AS INTEGER) AS salt,
+             least(len(list_filter(string_split(text, ' '), w -> w <> '')), 512) AS ln
+      FROM documents),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY source, salt ORDER BY doc_id) AS rn
+      FROM d),
+    walk AS (
+      SELECT source, salt, rn, ln, CAST(0 AS BIGINT) AS pack_id, ln AS acc
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.salt, o.rn, o.ln,
+             CASE WHEN w.acc + o.ln > 512 AND w.acc > 0
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.acc + o.ln > 512 AND w.acc > 0
+                  THEN o.ln ELSE w.acc + o.ln END
+      FROM walk w
+      JOIN ord o ON o.source = w.source AND o.salt = w.salt AND o.rn = w.rn + 1),
+    packs AS (
+      SELECT source, salt, pack_id,
+             CAST(sum(ln) AS BIGINT) AS n_tok, count(*) AS n_docs
+      FROM walk GROUP BY 1, 2, 3)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tok,
+           ROUND(CAST(sum(n_tok) AS DOUBLE) / count(*) / 512, 4) AS avg_fill
+    FROM packs GROUP BY source
+    """,
+)
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sample-packing of tokenized docs into ≤512-token training bins
-    via applyInPandas over (source, salt) groups; fill stats per source."""
+    via applyInPandas over (source, salt) groups; fill stats per source.
+    Portable salt + exact-integer fill accounting, so the DuckDB oracle
+    replays the whole greedy walk with a recursive CTE and the per-source
+    stats value-match (formerly a rows-only key)."""
     from .operators.packing import pack_sequences, packing_stats
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2038,8 +2074,8 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens"),
         "source",
     )
-    packed = pack_sequences(docs, max_len=512, salt_buckets=8)
-    return packing_stats(packed).orderBy("source")
+    packed = pack_sequences(docs, max_len=512, salt_buckets=8, salt_mode="portable")
+    return packing_stats(packed, max_len=512).orderBy("source")
 
 
 @_q("chunk_token_stream", None)  # partition-order dependent — rows-only
