@@ -2081,19 +2081,42 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("chunk_token_stream", None)  # partition-order dependent — rows-only
 def chunk_token_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split LM packing: every output row exactly 256 tokens
-    (mapInPandas streaming kernel with cross-batch carry)."""
+    (mapInPandas streaming kernel with cross-batch carry).
+
+    Gate variant: ONE doc_id-sorted stream (repartition(1) +
+    sortWithinPandas order) with portable word-code tokens, so the chunk
+    CONTENTS are engine-reproducible and the oracle value-checks every
+    token of every chunk.  The scale path runs the same kernel
+    partition-parallel (chunks form per partition — pytest-covered
+    conservation/window tests); the single-stream form is the correctness
+    harness, not the deployment shape."""
     from .operators.packing import chunk_token_stream
+    from .operators.textstats import word_codes
 
     docs = _t(spark, sf_dir, "documents").select(
-        F.transform(
-            F.filter(F.split("text", " "), lambda w: w != F.lit("")),
-            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
-        ).alias("tokens")
+        "doc_id", word_codes(F.col("text")).alias("_codes")
+    ).select(
+        "doc_id",
+        F.transform(F.col("_codes"), lambda c: F.pmod(c, F.lit(50257)).cast("int")).alias(
+            "tokens"
+        ),
     )
-    out = chunk_token_stream(docs, max_len=256)
-    return out.select(F.size("tokens").alias("n_tok")).groupBy("n_tok").agg(
-        F.count(F.lit(1)).alias("n_chunks")
-    )
+    ordered = docs.repartition(1).sortWithinPartitions("doc_id").select("tokens")
+    return chunk_token_stream(ordered, max_len=256)
+
+
+ORACLES["chunk_token_stream"] = f"""
+    WITH t AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents),
+    tok AS (
+      SELECT doc_id, generate_subscripts(codes, 1) AS i,
+             CAST(unnest(codes) % 50257 AS INTEGER) AS tk
+      FROM t),
+    ord AS (SELECT tk, row_number() OVER (ORDER BY doc_id, i) AS rn FROM tok),
+    ch AS (SELECT CAST((rn - 1) // 256 AS BIGINT) AS cid, tk, rn FROM ord),
+    filled AS (SELECT cid FROM ch GROUP BY cid HAVING count(*) = 256)
+    SELECT list(tk ORDER BY rn) AS tokens
+    FROM ch JOIN filled USING (cid) GROUP BY cid
+"""
 
 
 @_q(
