@@ -174,3 +174,38 @@ def span_rename(df: DataFrame, out_col: str, from_attributes: list[str], separat
     joined = F.concat_ws(separator, *[F.col(c).cast("string") for c in from_attributes])
     prev = F.col(out_col) if out_col in df.columns else F.lit(None).cast("string")
     return df.withColumn(out_col, F.when(any_null, prev).otherwise(joined))
+
+
+# --- redaction (contrib redactionprocessor analog) ---------------------------
+
+# Patterns restricted to the syntax subset shared by Java regex (Spark) and
+# RE2 (DuckDB/collector): no lookaround, no backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{13,16}\b", "[CARD]"),
+]
+
+
+def redact(col: Column, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Value redaction (contrib processor/redactionprocessor ~approx,
+    `blocked_values` regexes): mask every match of each pattern, applied in
+    declaration order so earlier masks can shadow later ones (an email's
+    digits are gone before the card pattern runs).  Pure codegen
+    `regexp_replace` chain — no UDF, fully pushable."""
+    out = col
+    for pat, repl in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redaction_count(col: Column, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Redacted-value count (the processor's `redacted_keys` summary attr):
+    total matches across all patterns, counted on the progressively-masked
+    value exactly as `redact` applies them."""
+    total = F.lit(0)
+    masked = col
+    for pat, repl in patterns or PII_PATTERNS:
+        total = total + F.regexp_count(masked, F.lit(pat))
+        masked = F.regexp_replace(masked, pat, repl)
+    return total

@@ -165,3 +165,27 @@ def repetition_stats(df, id_col: str, text_col: str):
             F.round(F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 4),
         ).otherwise(F.lit(0.0)).alias("dup_3gram_ratio"),
     )
+
+
+def token_entropy(df, id_col: str, text_col: str):
+    """Per-document token-distribution stats for corpus quality filtering
+    (engine extension): Shannon entropy of the whitespace-token distribution
+    and type-token ratio.  H = log2(n) − (Σ c·log2 c)/n over per-token counts
+    c — one explode + two hash aggregates; only (id, token) pairs and then
+    (id, partials) shuffle, so the plan is linear in corpus size and never
+    materializes a vocabulary per document."""
+    import pyspark.sql.functions as F
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c")
+    return per_tok.groupBy(id_col).agg(
+        F.sum(c).alias("n_tok"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log2(F.sum(c)) - F.sum(c * F.log2(c)) / F.sum(c), 4
+        ).alias("entropy_bits"),
+        F.round(F.count(F.lit(1)) / F.sum(c), 4).alias("type_token_ratio"),
+    )

@@ -2175,6 +2175,250 @@ def len_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# §2.6 metrics-pipeline processors (contrib spanmetrics / metricstransform /
+# promql analogs) + §2.4 redaction + corpus-quality extensions (round 3)
+# --------------------------------------------------------------------------
+
+@_q(
+    "attr_redact_pii",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             printf('%s u%d@ex%d.com ip=10.0.%d.%d card=4111111111111111',
+                    substr(text, 1, 40), doc_id, doc_id % 7,
+                    doc_id % 256, (doc_id * 7) % 256) AS line
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(line,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+               '\\b\\d{13,16}\\b', '[CARD]', 'g') AS redacted,
+           CAST(length(regexp_extract_all(line,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + length(regexp_extract_all(regexp_replace(line,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+              + length(regexp_extract_all(regexp_replace(regexp_replace(line,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                    '\\b\\d{13,16}\\b')) AS BIGINT) AS n_pii
+    FROM s
+    """,
+)
+def attr_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-ext value redaction (contrib redactionprocessor analog): mask
+    emails / IPv4s / card-like digit runs and count redactions.  The PII is
+    synthesized deterministically into the line on BOTH sides (the corpus
+    text itself is clean), so the masking logic is what's under test.  Pure
+    codegen regexp_replace chain — no UDF."""
+    from .operators.attraction import redact, redaction_count
+
+    d = _t(spark, sf_dir, "documents")
+    line = F.format_string(
+        "%s u%d@ex%d.com ip=10.0.%d.%d card=4111111111111111",
+        F.substring("text", 1, 40),
+        F.col("doc_id"),
+        F.col("doc_id") % 7,
+        F.col("doc_id") % 256,
+        (F.col("doc_id") * 7) % 256,
+    )
+    staged = d.select("doc_id", line.alias("line"))
+    return staged.select(
+        "doc_id",
+        redact(F.col("line")).alias("redacted"),
+        redaction_count(F.col("line")).cast("bigint").alias("n_pii"),
+    )
+
+
+@_q(
+    "span_metrics_red",
+    """
+    SELECT event_type, count(*) AS calls,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           ROUND(sum(value), 4) AS duration_sum,
+           CAST(sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_25_0,
+           CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_50_0,
+           CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_100_0,
+           CAST(sum(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_250_0
+    FROM events GROUP BY event_type
+    """,
+)
+def span_metrics_red(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext spanmetrics RED aggregate (contrib spanmetricsprocessor analog):
+    per span-name dimension, call count, error count (error = props.k > 90),
+    duration sum, and a cumulative-LE explicit-bounds histogram.  One hash
+    aggregate; bucket CASEs evaluate map-side so only partials shuffle."""
+    from .operators.metricsproc import red_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    err = F.get_json_object("props", "$.k").cast("int") > 90
+    return red_metrics(ev, "event_type", "value", err, [25.0, 50.0, 100.0, 250.0])
+
+
+@_q(
+    "metrics_transform",
+    """
+    SELECT CASE event_type WHEN 'view' THEN 'page_view'
+                           WHEN 'click' THEN 'interaction'
+                           WHEN 'purchase' THEN 'conversion'
+                           ELSE event_type END AS event_type,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+           count(*) AS n_points,
+           ROUND(sum(value * 1000.0), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def metrics_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext metricstransform (contrib metricstransformprocessor analog):
+    rename series, scale values (s→ms), and aggregate_labels — drop the
+    user_id dimension and re-sum per (metric, hour).  Rename+scale fuse into
+    the scan projection; the single shuffle carries only coarse-key partials."""
+    from .operators.metricsproc import metrics_transform
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return metrics_transform(
+        ev,
+        "event_type",
+        {"view": "page_view", "click": "interaction", "purchase": "conversion"},
+        "value",
+        1000.0,
+        ["event_type", "hr"],
+    )
+
+
+@_q(
+    "rate_counter_reset",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  % 100000 AS BIGINT) AS counter
+      FROM events)
+    SELECT event_id, user_id, counter,
+           CASE WHEN lag(counter) OVER w IS NULL THEN NULL
+                WHEN counter - lag(counter) OVER w >= 0
+                     THEN counter - lag(counter) OVER w
+                ELSE counter END AS increase
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def rate_counter_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-ext Prometheus increase() with counter-reset detection (promql rate
+    engine semantics; upgrades win_delta_from_cumulative's documented
+    caller's-policy knob): a wrapping integer counter is synthesized per
+    series on BOTH sides (cumsum mod 100k — value > 0 everywhere, so the
+    counter is monotone-with-resets), then increase = delta when >= 0 else
+    the raw post-reset value.  Two stacked windows over one series shuffle."""
+    from .operators.metricsproc import increase_with_resets
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(F.floor(F.col("value") * 1000).cast("bigint")).over(w) % 100000)
+        .alias("counter"),
+    )
+    return increase_with_resets(
+        staged, ["user_id"], "ts", "counter", tiebreak="event_id"
+    ).select("event_id", "user_id", "counter", "increase")
+
+
+@_q(
+    "text_entropy",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tok,
+           count(*) AS n_types,
+           ROUND(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits,
+           ROUND(count(*) / CAST(sum(c) AS DOUBLE), 4) AS type_token_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext corpus quality: per-doc token Shannon entropy + type-token
+    ratio (low entropy = boilerplate/repetition — standard pretraining
+    filter signal alongside text_repetition).  explode → two hash aggs;
+    shuffle carries (doc, token) then (doc, partials), linear in corpus."""
+    from .operators.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "trace_assemble",
+    """
+    SELECT user_id, count(*) AS n_spans,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id
+    """,
+)
+def trace_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext groupbytrace (contrib groupbytraceprocessor analog): gather the
+    full trace per id, emit span count, wall duration, ordered span path.
+    collect_list + array_sort on (ts, tiebreak, span) structs is
+    deterministic under any partitioning; one shuffle keyed by trace id."""
+    from .operators.metricsproc import assemble_traces
+
+    return assemble_traces(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id", "event_type", ">"
+    )
+
+
+@_q(
+    "hist_quantile",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value <= 10 THEN 0 WHEN value <= 50 THEN 1
+                  WHEN value <= 100 THEN 2 WHEN value <= 200 THEN 3
+                  WHEN value <= 400 THEN 4 ELSE 5 END AS bucket
+      FROM events),
+    g AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY event_type, bucket),
+    c AS (SELECT event_type, bucket, n,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                 sum(n) OVER (PARTITION BY event_type) AS total
+          FROM g),
+    h AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+          FROM c WHERE cum >= 0.95 * total)
+    SELECT event_type,
+           ROUND(CASE WHEN bucket >= 5 THEN 400.0
+                 ELSE [0.0, 10.0, 50.0, 100.0, 200.0, 400.0][bucket + 1]
+                      + (0.95 * total - (cum - n)) / n
+                        * ([10.0, 50.0, 100.0, 200.0, 400.0][bucket + 1]
+                           - [0.0, 10.0, 50.0, 100.0, 200.0][bucket + 1])
+                 END, 4) AS quantile
+    FROM h WHERE rn = 1
+    """,
+)
+def hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext Prometheus histogram_quantile(0.95) (promql quantile.go
+    semantics): explicit-bounds bucketing, cumulative distribution, linear
+    interpolation in the target bucket, +Inf clamped to the last finite
+    bound.  Raw rows shuffle once as (dim, bucket) pairs; the window +
+    filter run over O(#dims x #buckets) rows."""
+    from .operators.metricsproc import histogram_quantile
+
+    return histogram_quantile(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        0.95,
+        [10.0, 50.0, 100.0, 200.0, 400.0],
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -2219,6 +2463,13 @@ _DRIVER_PRIORITY = [
     "text_repetition",
     "dedup_corpus_keep_cc",
     "sample_split",
+    "attr_redact_pii",
+    "span_metrics_red",
+    "metrics_transform",
+    "rate_counter_reset",
+    "text_entropy",
+    "trace_assemble",
+    "hist_quantile",
 ]
 
 

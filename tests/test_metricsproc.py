@@ -1,0 +1,129 @@
+"""Metrics-pipeline processors: golden values on hand-computable frames."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from opentelemetry_collector_spark.operators.metricsproc import (
+    assemble_traces,
+    histogram_quantile,
+    increase_with_resets,
+    metrics_transform,
+    red_metrics,
+)
+from opentelemetry_collector_spark.operators.attraction import (
+    redact,
+    redaction_count,
+)
+from opentelemetry_collector_spark.operators.textstats import token_entropy
+
+
+def test_red_metrics_buckets_and_errors(spark):
+    rows = [
+        ("a", 0.3, 1),   # le all buckets
+        ("a", 1.5, 99),  # error; le 2.0+
+        ("a", 9.0, 5),   # above every bound
+        ("b", 0.6, 0),
+    ]
+    df = spark.createDataFrame(rows, "name string, dur double, code int")
+    out = {
+        r["name"]: r
+        for r in red_metrics(
+            df, "name", "dur", F.col("code") > 90, [0.5, 2.0]
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.calls, a.errors) == (3, 1)
+    assert (a.le_0_5, a.le_2_0) == (1, 2)  # cumulative-LE semantics
+    assert abs(a.duration_sum - 10.8) < 1e-9
+    b = out["b"]
+    assert (b.calls, b.errors, b.le_0_5, b.le_2_0) == (1, 0, 0, 1)
+
+
+def test_metrics_transform_rename_passthrough(spark):
+    df = spark.createDataFrame(
+        [("old", 1, 1.0), ("old", 1, 2.0), ("other", 1, 4.0)],
+        "m string, g int, v double",
+    )
+    out = {
+        (r.m, r.g): r
+        for r in metrics_transform(df, "m", {"old": "new"}, "v", 10.0, ["m", "g"]).collect()
+    }
+    assert out[("new", 1)].value_sum == 30.0  # renamed + scaled + re-summed
+    assert out[("other", 1)].value_sum == 40.0  # unmapped passes through
+    assert out[("new", 1)].n_points == 2
+
+
+def test_increase_with_resets_prometheus_semantics(spark):
+    # series: 5, 8, 2 (reset), 6 -> increases: NULL, 3, 2, 4
+    rows = [("k", i, c) for i, c in enumerate([5, 8, 2, 6])]
+    df = spark.createDataFrame(rows, "k string, t int, c long")
+    out = [
+        r.increase
+        for r in increase_with_resets(df, ["k"], "t", "c").orderBy("t").collect()
+    ]
+    assert out == [None, 3, 2, 4]
+
+
+def test_histogram_quantile_interpolation(spark):
+    # 100 samples uniform over (0, 10]: bounds [2.5, 5.0, 10.0].
+    # p50 rank=50 falls in bucket (2.5, 5.0]: cum_prev=25, n=25
+    # -> 2.5 + (50-25)/25 * 2.5 = 5.0
+    rows = [("u", (i + 1) / 10.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "d string, v double")
+    out = histogram_quantile(df, "d", "v", 0.5, [2.5, 5.0, 10.0]).collect()
+    assert len(out) == 1 and abs(out[0].quantile - 5.0) < 1e-9
+
+
+def test_histogram_quantile_inf_clamps(spark):
+    df = spark.createDataFrame([("u", 100.0)] * 5, "d string, v double")
+    out = histogram_quantile(df, "d", "v", 0.95, [1.0, 2.0]).collect()
+    assert out[0].quantile == 2.0  # +Inf bucket clamps to last finite bound
+
+
+def test_assemble_traces_order_deterministic(spark):
+    rows = [
+        (7, "2024-01-01 00:00:02", 3, "c"),
+        (7, "2024-01-01 00:00:00", 1, "a"),
+        (7, "2024-01-01 00:00:00", 2, "b"),  # ts tie -> tiebreak column
+    ]
+    df = spark.createDataFrame(
+        rows, "trace long, ts string, sid long, span string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = assemble_traces(df.repartition(3), "trace", "ts", "sid", "span").collect()
+    assert out[0].path == "a>b>c"
+    assert out[0].n_spans == 3
+    assert out[0].duration_us == 2_000_000
+
+
+def test_redact_masks_and_counts(spark):
+    line = "from bob@x.io at 10.0.0.1 card 4111111111111111 ok"
+    df = spark.createDataFrame([(line,)], "s string")
+    r = df.select(
+        redact(F.col("s")).alias("red"),
+        redaction_count(F.col("s")).alias("n"),
+    ).collect()[0]
+    assert r.red == "from [EMAIL] at [IP] card [CARD] ok"
+    assert r.n == 3
+
+
+def test_redact_email_shadows_card_digits(spark):
+    # digits inside an email are masked by the email rule first, so the
+    # card pattern must not double-count them
+    df = spark.createDataFrame([("x 4111111111111111@mail.com y",)], "s string")
+    r = df.select(redaction_count(F.col("s")).alias("n")).collect()[0]
+    assert r.n == 1
+
+
+def test_token_entropy_golden(spark):
+    # "a a b b" -> n=4, two types each p=0.5 -> H=1 bit, ttr=0.5
+    # "a a a a" -> H=0, ttr=0.25
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a a a a")], "id long, text string"
+    )
+    out = {r.id: r for r in token_entropy(df, "id", "text").collect()}
+    assert out[1].n_tok == 4 and out[1].n_types == 2
+    assert abs(out[1].entropy_bits - 1.0) < 1e-9
+    assert abs(out[1].type_token_ratio - 0.5) < 1e-9
+    assert out[2].entropy_bits == 0.0
+    assert abs(out[2].type_token_ratio - 0.25) < 1e-9
