@@ -64,6 +64,14 @@ HEADLINE = [
     "dedup_components",
     "ann_cosine_topk",
     "chunk_token_stream",
+    # r3 metrics-processor + curation suite (all ≥0.3 s at sf0.1)
+    "attr_redact_pii",
+    "span_metrics_red",
+    "metrics_transform",
+    "rate_counter_reset",
+    "text_entropy",
+    "trace_assemble",
+    "hist_quantile",
 ]
 
 
