@@ -155,3 +155,132 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# counter-reset increase() vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+_counter_series = st.lists(
+    st.integers(min_value=0, max_value=1000), min_size=1, max_size=30
+)
+
+
+@given(series=_counter_series)
+@SETTINGS
+def test_increase_with_resets_matches_python_reference(spark, series):
+    from opentelemetry_collector_spark.operators.metricsproc import (
+        increase_with_resets,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, c) for i, c in enumerate(series)], "k string, t int, c long"
+    )
+    got = [
+        r.increase
+        for r in increase_with_resets(df.repartition(3), ["k"], "t", "c")
+        .orderBy("t")
+        .collect()
+    ]
+    want = [None] + [
+        cur - prev if cur >= prev else cur
+        for prev, cur in zip(series, series[1:])
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantile vs a pure-python promql-style reference
+# ---------------------------------------------------------------------------
+
+_samples = st.lists(
+    st.floats(min_value=0.01, max_value=20.0, allow_nan=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=_samples, q=st.sampled_from([0.5, 0.9, 0.99]))
+@SETTINGS
+def test_histogram_quantile_matches_python_reference(spark, vals, q):
+    from opentelemetry_collector_spark.operators.metricsproc import (
+        histogram_quantile,
+    )
+
+    bounds = [1.0, 2.0, 5.0, 10.0]
+    df = spark.createDataFrame([("d", float(v)) for v in vals], "d string, v double")
+    got = histogram_quantile(df, "d", "v", q, bounds).collect()[0].quantile
+
+    # python reference: same explicit-bounds bucket walk
+    counts = [0] * (len(bounds) + 1)
+    for v in vals:
+        for i, b in enumerate(bounds):
+            if v <= b:
+                counts[i] += 1
+                break
+        else:
+            counts[-1] += 1
+    total = len(vals)
+    rank = q * total
+    cum = 0
+    for i, n in enumerate(counts):
+        if cum + n >= rank and n > 0:
+            if i >= len(bounds):
+                want = bounds[-1]
+            else:
+                lo = 0.0 if i == 0 else bounds[i - 1]
+                want = lo + (rank - cum) / n * (bounds[i] - lo)
+            break
+        cum += n
+    assert abs(got - round(want, 4)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# redaction: idempotent, and masks survive arbitrary surrounding text
+# ---------------------------------------------------------------------------
+
+_noise = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="@"),
+    max_size=20,
+)
+
+
+@given(pre=_noise, post=_noise)
+@SETTINGS
+def test_redact_idempotent_and_total(spark, pre, post):
+    from opentelemetry_collector_spark.operators.attraction import redact
+
+    line = f"{pre} a.b@c.io {post} 192.168.0.1"
+    df = spark.createDataFrame([(line,)], "s string")
+    once = df.select(redact(F.col("s")).alias("r"))
+    twice = once.select(redact(F.col("r")).alias("r"))
+    a = once.collect()[0].r
+    b = twice.collect()[0].r
+    assert a == b  # masks contain no maskable material
+    assert "[EMAIL]" in a and "[IP]" in a
+
+
+# ---------------------------------------------------------------------------
+# token entropy: permutation-invariant, bounded by log2(n_types)
+# ---------------------------------------------------------------------------
+
+_bags = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=30)
+
+
+@given(bag=_bags, seed=st.integers(min_value=0, max_value=999))
+@SETTINGS
+def test_token_entropy_permutation_invariant_and_bounded(spark, bag, seed):
+    import math
+    import random
+
+    from opentelemetry_collector_spark.operators.textstats import token_entropy
+
+    shuffled = list(bag)
+    random.Random(seed).shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(1, " ".join(bag)), (2, " ".join(shuffled))], "id long, text string"
+    )
+    out = {r.id: r for r in token_entropy(df, "id", "text").collect()}
+    assert out[1].entropy_bits == out[2].entropy_bits
+    assert out[1].n_tok == len(bag)
+    assert 0.0 <= out[1].entropy_bits <= math.log2(out[1].n_types) + 1e-9
