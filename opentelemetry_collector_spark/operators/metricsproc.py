@@ -29,6 +29,20 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def _red_aggs(duration_col: str, error_pred: Column, bounds: list[float]) -> list[Column]:
+    d = F.col(duration_col)
+    aggs = [
+        F.count(F.lit(1)).alias("calls"),
+        F.sum(F.when(error_pred, 1).otherwise(0)).alias("errors"),
+        F.round(F.sum(d), 4).alias("duration_sum"),
+    ]
+    for b in bounds:
+        # cumulative le-buckets: count of rows with duration <= bound
+        label = str(b).replace(".", "_")
+        aggs.append(F.sum(F.when(d <= F.lit(b), 1).otherwise(0)).alias(f"le_{label}"))
+    return aggs
+
+
 def red_metrics(
     df: DataFrame,
     dim_col: str,
@@ -43,17 +57,31 @@ def red_metrics(
     One shuffle of (dim, partial-counters) only; bucket membership is a
     codegen CASE chain evaluated map-side.
     """
-    d = F.col(duration_col)
-    aggs = [
-        F.count(F.lit(1)).alias("calls"),
-        F.sum(F.when(error_pred, 1).otherwise(0)).alias("errors"),
-        F.round(F.sum(d), 4).alias("duration_sum"),
-    ]
-    for b in bounds:
-        # cumulative le-buckets: count of rows with duration <= bound
-        label = str(b).replace(".", "_")
-        aggs.append(F.sum(F.when(d <= F.lit(b), 1).otherwise(0)).alias(f"le_{label}"))
-    return df.groupBy(F.col(dim_col)).agg(*aggs)
+    return df.groupBy(F.col(dim_col)).agg(
+        *_red_aggs(duration_col, error_pred, bounds)
+    )
+
+
+def streaming_red_metrics(
+    stream: DataFrame,
+    dim_col: str,
+    duration_col: str,
+    error_pred: Column,
+    bounds: list[float],
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming spanmetrics: the same RED counter/histogram columns as
+    `red_metrics`, keyed by (event-time tumbling window, dim) with a
+    watermark bounding late data — the upstream processor's
+    metrics_flush_interval ticker becomes event-time window finalization.
+    Append mode emits only finalized windows; the per-batch plan is the same
+    partial+final hash aggregate as the batch form (no extra shuffles)."""
+    s = stream.withWatermark(ts_col, watermark)
+    return s.groupBy(F.window(ts_col, window).alias("w"), F.col(dim_col)).agg(
+        *_red_aggs(duration_col, error_pred, bounds)
+    )
 
 
 def metrics_transform(

@@ -396,3 +396,56 @@ def test_streaming_dedup_drops_redelivered_records(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT doc_id) AS d FROM dedup_stream").first()
     assert got["n"] == 100 and got["d"] == 100
+
+
+def test_streaming_red_metrics_matches_batch_on_finalized_windows(spark, tmp_path):
+    from opentelemetry_collector_spark.operators.metricsproc import (
+        _red_aggs,
+        streaming_red_metrics,
+    )
+
+    d = str(tmp_path / "in")
+    ddl = "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp"
+    for seed in (5, 6):
+        (
+            gen_sequences(spark, 200, seed=seed, partitions=1)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(180))
+                ),
+            )
+            .write.mode("append").parquet(d)
+        )
+    stream = read_stream_sequences(spark, d, ddl, max_files_per_trigger=1)
+    agg = streaming_red_metrics(
+        stream, "source", "n_tok", F.col("n_tok") > 100, [64.0, 128.0],
+        ts_col="ts", window="1 minute", watermark="1 minute",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("red_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w.start.isoformat(), r.source): (r.calls, r.errors, r.le_64_0, r.le_128_0)
+        for r in spark.sql("SELECT * FROM red_stream").collect()
+    }
+    assert got  # the second batch advances the watermark past window 1
+
+    # batch reference over the same data, restricted to the emitted windows
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "source")
+        .agg(*_red_aggs("n_tok", F.col("n_tok") > 100, [64.0, 128.0]))
+    )
+    want = {
+        (r.w.start.isoformat(), r.source): (r.calls, r.errors, r.le_64_0, r.le_128_0)
+        for r in batch.collect()
+    }
+    for k, v in got.items():
+        assert want[k] == v  # every finalized streaming row equals the batch row
