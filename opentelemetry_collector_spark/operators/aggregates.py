@@ -79,3 +79,57 @@ def metric_families(df: DataFrame, name_col: str, ts_col: str, value_col: str) -
         F.count(F.lit(1)).alias("n_points"),
         F.sort_array(F.collect_list(F.struct(ts_col, value_col))).alias("points"),
     )
+
+
+def approx_distinct_audit(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    rsd: float = 0.02,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Sketch-accuracy contract for the 100 TB scale path: per *key*, the
+    exact distinct count next to a boolean asserting the HyperLogLog++
+    estimate (`approx_count_distinct`, mergeable, one pass, O(1) state)
+    lands within *tolerance* of it.  At scale the exact form is the one you
+    drop; this audit keeps the sketch honest in the gate — if the estimate
+    drifts out of tolerance the value-hash mismatches and the gate goes red."""
+    exact = F.countDistinct(value_col)
+    approx = F.approx_count_distinct(value_col, rsd)
+    ok = (F.abs(approx - exact) <= F.lit(tolerance) * exact)
+    # 0/1 instead of boolean: renders identically in every engine the gate
+    # compares through (DuckDB bool vs Spark boolean dtype names differ)
+    return df.groupBy(key).agg(
+        exact.alias("n_exact"),
+        ok.cast("bigint").alias("sketch_ok"),
+    )
+
+
+def approx_quantile_audit(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    qs: list[float],
+    accuracy: int = 10000,
+    tolerance: float = 0.10,
+) -> DataFrame:
+    """Same contract for quantile sketches: exact interpolated percentiles
+    per *key* plus booleans asserting `percentile_approx` (KLL-style
+    mergeable sketch) lands within relative *tolerance* of each.  The exact
+    percentile is what the oracle reproduces (quantile_cont); the sketch is
+    what a 100 TB run would actually execute.  Tolerance default is 10%:
+    percentile_approx returns a real data point (nearest rank) while the
+    exact form interpolates, and at gate-scale group sizes (~25 rows) that
+    discretization gap alone measures up to ~7% — at scale both converge
+    and the slack is all sketch-error headroom."""
+    aggs = []
+    for q in qs:
+        tag = str(q).replace(".", "_")
+        exact = F.percentile(value_col, F.lit(q))
+        approx = F.percentile_approx(value_col, F.lit(q), F.lit(accuracy))
+        aggs.append(F.round(exact, 4).alias(f"p{tag}"))
+        aggs.append(
+            (F.abs(approx - exact) <= F.lit(tolerance) * F.abs(exact))
+            .cast("bigint").alias(f"ok_p{tag}")
+        )
+    return df.groupBy(key).agg(*aggs)

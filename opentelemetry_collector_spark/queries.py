@@ -2419,6 +2419,52 @@ def hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_approx_distinct_audit",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           CAST(1 AS BIGINT) AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext sketch-accuracy audit: exact distinct users per event_type plus
+    a value-checked contract that the HyperLogLog++ estimate stays within 5%.
+    The oracle pins sketch_ok to TRUE, so estimator drift fails the gate —
+    the same honesty pattern as dedup_embedding_recall.  At 100 TB the exact
+    count-distinct (expand + two-phase) is dropped and ONLY the mergeable
+    sketch runs."""
+    from .operators.aggregates import approx_distinct_audit
+
+    return approx_distinct_audit(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+@_q(
+    "agg_approx_quantile_audit",
+    """
+    SELECT source,
+           ROUND(quantile_cont(n_chars, 0.5), 4) AS p0_5,
+           CAST(1 AS BIGINT) AS ok_p0_5,
+           ROUND(quantile_cont(n_chars, 0.9), 4) AS p0_9,
+           CAST(1 AS BIGINT) AS ok_p0_9
+    FROM documents GROUP BY source
+    """,
+)
+def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext quantile-sketch audit: exact interpolated p50/p90 doc lengths
+    per source plus value-checked contracts that percentile_approx (the
+    mergeable one-pass sketch a 100 TB run executes) lands within 5% of
+    each.  Companion to len_quantiles_by_source, which documents the swap."""
+    from .operators.aggregates import approx_quantile_audit
+
+    return approx_quantile_audit(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", [0.5, 0.9]
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -2470,6 +2516,8 @@ _DRIVER_PRIORITY = [
     "text_entropy",
     "trace_assemble",
     "hist_quantile",
+    "agg_approx_distinct_audit",
+    "agg_approx_quantile_audit",
 ]
 
 

@@ -127,3 +127,23 @@ def test_token_entropy_golden(spark):
     assert abs(out[1].type_token_ratio - 0.5) < 1e-9
     assert out[2].entropy_bits == 0.0
     assert abs(out[2].type_token_ratio - 0.25) < 1e-9
+
+
+def test_sketch_audits_flag_out_of_tolerance(spark):
+    from opentelemetry_collector_spark.operators.aggregates import (
+        approx_distinct_audit,
+        approx_quantile_audit,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1000)], "k string, v long"
+    )
+    ok = approx_distinct_audit(df, "k", "v", rsd=0.02, tolerance=0.05).collect()[0]
+    assert ok.n_exact == 1000 and ok.sketch_ok == 1
+    # tolerance 0 can only pass if the estimate is EXACTLY the true count;
+    # HLL at rsd 0.3 on 1000 distincts virtually never is
+    bad = approx_distinct_audit(df, "k", "v", rsd=0.3, tolerance=0.0).collect()[0]
+    assert bad.sketch_ok == 0
+
+    q = approx_quantile_audit(df, "k", "v", [0.5], tolerance=0.10).collect()[0]
+    assert q.ok_p0_5 == 1 and abs(q.p0_5 - 499.5) < 1e-6
