@@ -72,6 +72,8 @@ HEADLINE = [
     "text_entropy",
     "trace_assemble",
     "hist_quantile",
+    "text_unigram_logprob",
+    "text_boilerplate_ratio",
 ]
 
 

@@ -189,3 +189,61 @@ def token_entropy(df, id_col: str, text_col: str):
         ).alias("entropy_bits"),
         F.round(F.count(F.lit(1)) / F.sum(c), 4).alias("type_token_ratio"),
     )
+
+
+def unigram_logprob(df, id_col: str, text_col: str):
+    """CCNet-style LM quality proxy (engine extension): score every document
+    by the average log2-probability of its tokens under the corpus's own
+    unigram distribution — boilerplate/common-word soup scores high, rare-
+    token noise scores low, and extreme tails in either direction are the
+    standard pretraining filter cut.
+
+    Plan: one explode feeds BOTH the vocabulary aggregate and the scoring
+    join (Catalyst reuses the scan); the per-token equi-join shuffles on the
+    token — the vocabulary is zipfian but ≪ corpus, and at 100 TB you'd
+    broadcast a df-capped head or bucket both sides.  The corpus-total token
+    count is a 1-row aggregate broadcast into the scoring frame (declared
+    1-row nested-loop — the scale-correct scalar pattern)."""
+    import pyspark.sql.functions as F
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("nt"))
+    scored = toks.join(vocab, "tok").join(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(
+            F.sum(F.log2("c")) / F.count(F.lit(1)) - F.first(F.log2("nt")), 4
+        ).alias("avg_logp"),
+    )
+
+
+def boilerplate_ratio(df, id_col: str, text_col: str, n: int = 3, min_df: int = 3):
+    """Corpus-duplication exposure (RefinedWeb/C4-style boilerplate signal):
+    per document, the fraction of its word n-gram shingles that appear in at
+    least *min_df* DISTINCT documents.  High ratio = the document is mostly
+    text repeated across the corpus (navigation chrome, license blocks,
+    templated spam) — cut or down-weight before pretraining.
+
+    Plan: shingles explode once; document frequency is a (shingle → distinct
+    docs) aggregate re-joined to the exploded frame — both shuffles carry
+    (doc, shingle-hash)-sized rows only, linear in corpus size."""
+    import pyspark.sql.functions as F
+
+    from .dedup import shingle_hashes
+
+    sh = shingle_hashes(df.select(F.col(id_col), F.col(text_col)), id_col, text_col, n=n, mode="raw")
+    per_doc = sh.distinct()  # set semantics: one row per (doc, shingle)
+    dfreq = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    joined = per_doc.join(dfreq, "h")
+    return joined.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).alias("n_boiler"),
+        F.round(
+            F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("boiler_ratio"),
+    )

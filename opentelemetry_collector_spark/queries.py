@@ -2465,6 +2465,60 @@ def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_unigram_logprob",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    n AS (SELECT count(*) AS nt FROM t)
+    SELECT doc_id, count(*) AS n_tok,
+           ROUND(sum(log2(c)) / count(*) - log2(max(nt)), 4) AS avg_logp
+    FROM t JOIN v USING (tok) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext CCNet-style LM quality proxy: per-doc mean log2 token
+    probability under the corpus's own unigram distribution.  Extreme tails
+    both ways are the standard pretraining filter cut (too-common =
+    boilerplate, too-rare = noise)."""
+    from .operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "text_boilerplate_ratio",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+               || ' ' || string_split(text, ' ')[i+2])) AS h
+      FROM documents),
+    d AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           ROUND(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS boiler_ratio
+    FROM sh JOIN d USING (h)
+    GROUP BY doc_id
+    """,
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext corpus-duplication exposure (RefinedWeb/C4 boilerplate
+    signal): fraction of each doc's 3-gram shingles shared with ≥3 distinct
+    documents.  Complements text_repetition (intra-doc) with the
+    cross-corpus axis; the same (doc, shingle) explode the dedup ladder
+    uses, so at scale the two passes share the staged shingle frame."""
+    from .operators.textstats import boilerplate_ratio
+
+    return boilerplate_ratio(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_df=3
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -2518,6 +2572,8 @@ _DRIVER_PRIORITY = [
     "hist_quantile",
     "agg_approx_distinct_audit",
     "agg_approx_quantile_audit",
+    "text_unigram_logprob",
+    "text_boilerplate_ratio",
 ]
 
 

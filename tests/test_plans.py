@@ -175,6 +175,7 @@ _NESTED_LOOP_OK = {
     "ann_cosine_topk",        # brute-force baseline: broadcast queries × all vectors
     "dedup_embedding_recall",  # recall audit: all-pairs GROUND TRUTH side, small-SF only
     "dedup_corpus_recall",     # recall audit: 1-row × 1-row count crossJoin
+    "text_unigram_logprob",    # corpus-total scalar: 1-row broadcast into scoring frame
 }
 
 

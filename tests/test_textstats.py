@@ -79,3 +79,34 @@ def test_repetition_stats_flags_looping_text(spark):
     assert got[1].dup_3gram_ratio == 0.75 and got[1].uniq_word_ratio == round(1 / 6, 4)
     assert got[2].dup_3gram_ratio == 0.0 and got[2].uniq_word_ratio == 1.0
     assert got[3].dup_3gram_ratio == 0.0 and got[3].n_words == 1
+
+
+def test_unigram_logprob_golden(spark):
+    from opentelemetry_collector_spark.operators.textstats import unigram_logprob
+
+    # corpus: doc1 = "a a b", doc2 = "a c" -> counts a=3,b=1,c=1, N=5
+    # doc1 avg = (2*log2(3) + log2(1))/3 - log2(5)
+    # doc2 avg = (log2(3) + log2(1))/2 - log2(5)
+    import math
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")], "id long, text string")
+    out = {r.id: r for r in unigram_logprob(df, "id", "text").collect()}
+    want1 = 2 * math.log2(3) / 3 - math.log2(5)
+    want2 = math.log2(3) / 2 - math.log2(5)
+    assert out[1].n_tok == 3 and abs(out[1].avg_logp - round(want1, 4)) < 1e-9
+    assert out[2].n_tok == 2 and abs(out[2].avg_logp - round(want2, 4)) < 1e-9
+
+
+def test_boilerplate_ratio_flags_shared_shingles(spark):
+    from opentelemetry_collector_spark.operators.textstats import boilerplate_ratio
+
+    # "x y z" appears in 3 docs (df=3 -> boilerplate at min_df=3);
+    # each doc's second shingle is unique (df=1)
+    rows = [(i, f"x y z u{i} v{i}") for i in range(3)] + [(9, "p q r s")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in boilerplate_ratio(df, "id", "text", min_df=3).collect()}
+    for i in range(3):
+        assert out[i].n_shingles == 3  # (x y z), (y z u_i), (z u_i v_i)
+        assert out[i].n_boiler == 1
+        assert abs(out[i].boiler_ratio - round(1 / 3, 4)) < 1e-9
+    assert out[9].n_boiler == 0 and out[9].boiler_ratio == 0.0
