@@ -74,6 +74,7 @@ HEADLINE = [
     "hist_quantile",
     "text_unigram_logprob",
     "text_boilerplate_ratio",
+    "transform_ottl",
 ]
 
 

@@ -1,0 +1,337 @@
+"""OTTL-style transform statements → Catalyst columns (SURVEY.md §2.4 ext).
+
+Reference analog: the contrib transform processor's OpenTelemetry
+Transformation Language (processor/transformprocessor + pkg/ottl ~approx,
+public docs): config-driven statements like
+
+    set(attributes["env"], "prod") where source == "src0"
+    replace_pattern(body, "pw=[^ ]+", "pw=***")
+    delete_key(attributes, "debug")
+    keep_keys(attributes, ["env", "region"])
+    truncate_all(attributes, 32)
+    set(severity, Int(attributes["sev"]))
+
+The reference interprets these per record against pdata; here each statement
+COMPILES to built-in Column expressions once at plan time, so the whole
+statement list fuses into one Catalyst projection (codegen, no per-row
+interpreter, no UDF).  Grammar subset (the editors/converters the upstream
+processor ships that map 1:1 onto Spark builtins):
+
+- paths: bare identifiers are top-level columns; ``attributes["k"]`` indexes
+  a ``map<string,string>`` column (any map column name works).
+- editors: set, delete_key, keep_keys, replace_pattern, truncate_all.
+- converters (inside expressions): Int, Double, String, SHA256, Lower,
+  Upper, IsMatch (predicate).
+- ``where <condition>`` gates any editor per row: ==, !=, <, <=, >, >=,
+  and/or/not, parentheses, nil.
+
+Statements execute in order with each editor seeing the previous editors'
+output (upstream executes sequentially per record — same observable
+semantics, but vectorized).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# --------------------------------------------------------------------------
+# tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<number>-?\d+(?:\.\d+)?)
+      | (?P<op>==|!=|<=|>=|<|>)
+      | (?P<sym>[()\[\],])
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+    )""",
+    re.X,
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"OTTL: cannot tokenize at {s[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# AST
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Path:
+    name: str          # column name (top-level or the map column)
+    key: str | None    # map key when the path is  name["key"]
+
+
+@dataclass
+class ListLit:
+    items: list
+
+
+@dataclass
+class Call:
+    fn: str
+    args: list
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Not:
+    expr: object
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self, kind: str | None = None, value: str | None = None) -> tuple[str, str]:
+        t = self.peek()
+        if t is None or (kind and t[0] != kind) or (value and t[1] != value):
+            raise ValueError(f"OTTL: expected {value or kind}, got {t}")
+        self.i += 1
+        return t
+
+    # statement := call [ 'where' condition ]
+    def statement(self) -> tuple[Call, object | None]:
+        call = self.primary()
+        if not isinstance(call, Call):
+            raise ValueError("OTTL: statement must start with an editor call")
+        cond = None
+        t = self.peek()
+        if t and t[0] == "ident" and t[1] == "where":
+            self.take()
+            cond = self.condition()
+        if self.peek() is not None:
+            raise ValueError(f"OTTL: trailing tokens at {self.peek()}")
+        return call, cond
+
+    # condition := disjunction of conjunctions of comparisons
+    def condition(self):
+        left = self.conjunction()
+        while (t := self.peek()) and t == ("ident", "or"):
+            self.take()
+            left = BinOp("or", left, self.conjunction())
+        return left
+
+    def conjunction(self):
+        left = self.comparison()
+        while (t := self.peek()) and t == ("ident", "and"):
+            self.take()
+            left = BinOp("and", left, self.comparison())
+        return left
+
+    def comparison(self):
+        t = self.peek()
+        if t == ("ident", "not"):
+            self.take()
+            return Not(self.comparison())
+        if t == ("sym", "("):
+            # lookahead: a parenthesized CONDITION (primary handles call args)
+            save = self.i
+            self.take()
+            inner = self.condition()
+            self.take("sym", ")")
+            if (nxt := self.peek()) and nxt[0] == "op":
+                self.i = save  # it was a grouped value expr — re-parse below
+            else:
+                return inner
+        left = self.primary()
+        if (t := self.peek()) and t[0] == "op":
+            op = self.take()[1]
+            return BinOp(op, left, self.primary())
+        return left  # bare boolean expr (e.g. IsMatch(...))
+
+    # primary := literal | list | path | Call(args)
+    def primary(self):
+        kind, val = self.take()
+        if kind == "string":
+            return Lit(val[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if kind == "number":
+            return Lit(float(val) if "." in val else int(val))
+        if kind == "sym" and val == "[":
+            items = []
+            while self.peek() != ("sym", "]"):
+                items.append(self.primary())
+                if self.peek() == ("sym", ","):
+                    self.take()
+            self.take("sym", "]")
+            return ListLit(items)
+        if kind == "sym" and val == "(":
+            inner = self.primary()
+            self.take("sym", ")")
+            return inner
+        if kind == "ident":
+            if val == "nil":
+                return Lit(None)
+            if val in ("true", "false"):
+                return Lit(val == "true")
+            if self.peek() == ("sym", "("):  # function call
+                self.take()
+                args = []
+                while self.peek() != ("sym", ")"):
+                    args.append(self.primary())
+                    if self.peek() == ("sym", ","):
+                        self.take()
+                self.take("sym", ")")
+                return Call(val, args)
+            if self.peek() == ("sym", "["):  # map index  name["key"]
+                self.take()
+                key = self.take("string")[1]
+                self.take("sym", "]")
+                return Path(val, key[1:-1])
+            return Path(val, None)
+        raise ValueError(f"OTTL: unexpected token {kind} {val!r}")
+
+
+# --------------------------------------------------------------------------
+# compiler
+# --------------------------------------------------------------------------
+
+_CONVERTERS = {
+    "Int": lambda a: a[0].cast("long"),
+    "Double": lambda a: a[0].cast("double"),
+    "String": lambda a: a[0].cast("string"),
+    "SHA256": lambda a: F.sha2(a[0].cast("string"), 256),
+    "Lower": lambda a: F.lower(a[0]),
+    "Upper": lambda a: F.upper(a[0]),
+    "IsMatch": None,  # handled in _compile (needs the literal pattern)
+}
+
+
+def _compile(node, df: DataFrame) -> Column:
+    if isinstance(node, Lit):
+        return F.lit(node.value)
+    if isinstance(node, Path):
+        if node.key is not None:
+            return F.col(node.name).getItem(node.key)
+        return F.col(node.name) if node.name in df.columns else F.lit(None)
+    if isinstance(node, Call):
+        if node.fn == "IsMatch":
+            pat = node.args[1]
+            if not isinstance(pat, Lit):
+                raise ValueError("OTTL: IsMatch pattern must be a literal")
+            return _compile(node.args[0], df).cast("string").rlike(str(pat.value))
+        conv = _CONVERTERS.get(node.fn)
+        if conv is None:
+            raise ValueError(f"OTTL: unknown converter {node.fn!r}")
+        return conv([_compile(a, df) for a in node.args])
+    if isinstance(node, BinOp):
+        left, right = _compile(node.left, df), _compile(node.right, df)
+        return {
+            "==": left.eqNullSafe(right) if _is_nil(node.right) or _is_nil(node.left) else left == right,
+            "!=": ~left.eqNullSafe(right) if _is_nil(node.right) or _is_nil(node.left) else left != right,
+            "<": left < right,
+            "<=": left <= right,
+            ">": left > right,
+            ">=": left >= right,
+            "and": left & right,
+            "or": left | right,
+        }[node.op]
+    if isinstance(node, Not):
+        return ~_compile(node.expr, df)
+    raise ValueError(f"OTTL: cannot compile {node!r}")
+
+
+def _is_nil(node) -> bool:
+    return isinstance(node, Lit) and node.value is None
+
+
+def _map_upsert(m: Column, key: str, value: Column) -> Column:
+    entry = F.create_map(F.lit(key), value.cast("string"))
+    return F.map_concat(F.map_filter(m, lambda k, _: k != key), entry)
+
+
+def _apply_one(df: DataFrame, call: Call, cond) -> DataFrame:
+    gate = _compile(cond, df) if cond is not None else None
+
+    def gated(name: str, new: Column) -> Column:
+        old = F.col(name) if name in df.columns else F.lit(None).cast("string")
+        return F.when(gate, new).otherwise(old) if gate is not None else new
+
+    target = call.args[0] if call.args else None
+    if call.fn == "set":
+        if not isinstance(target, Path):
+            raise ValueError("OTTL: set target must be a path")
+        value = _compile(call.args[1], df)
+        if target.key is not None:  # map entry upsert
+            new = _map_upsert(F.col(target.name), target.key, value)
+            return df.withColumn(target.name, gated(target.name, new))
+        return df.withColumn(target.name, gated(target.name, value))
+    if call.fn == "delete_key":
+        key = call.args[1]
+        if not (isinstance(target, Path) and isinstance(key, Lit)):
+            raise ValueError("OTTL: delete_key(map_column, \"key\")")
+        new = F.map_filter(F.col(target.name), lambda k, _: k != str(key.value))
+        return df.withColumn(target.name, gated(target.name, new))
+    if call.fn == "keep_keys":
+        keys = call.args[1]
+        if not (isinstance(target, Path) and isinstance(keys, ListLit)):
+            raise ValueError("OTTL: keep_keys(map_column, [\"k\", ...])")
+        keep = [str(k.value) for k in keys.items]
+        new = F.map_filter(F.col(target.name), lambda k, _: k.isin(keep))
+        return df.withColumn(target.name, gated(target.name, new))
+    if call.fn == "replace_pattern":
+        pat, repl = call.args[1], call.args[2]
+        if not (isinstance(target, Path) and isinstance(pat, Lit) and isinstance(repl, Lit)):
+            raise ValueError("OTTL: replace_pattern(path, \"re\", \"repl\")")
+        src = _compile(target, df)
+        new = F.regexp_replace(src.cast("string"), str(pat.value), str(repl.value))
+        if target.key is not None:
+            new = _map_upsert(F.col(target.name), target.key, new)
+        return df.withColumn(target.name, gated(target.name, new))
+    if call.fn == "truncate_all":
+        n = call.args[1]
+        if not (isinstance(target, Path) and isinstance(n, Lit)):
+            raise ValueError("OTTL: truncate_all(map_column, n)")
+        new = F.transform_values(
+            F.col(target.name), lambda _, v: F.substring(v, 1, int(n.value))
+        )
+        return df.withColumn(target.name, gated(target.name, new))
+    raise ValueError(f"OTTL: unknown editor {call.fn!r}")
+
+
+def parse_statement(text: str) -> tuple[Call, object | None]:
+    """Parse one OTTL statement into (editor call, optional where-AST)."""
+    return _Parser(_tokenize(text)).statement()
+
+
+def apply_ottl(df: DataFrame, statements: list[str]) -> DataFrame:
+    """Compile and apply OTTL statements in order.  Each statement becomes a
+    single ``withColumn`` projection; Catalyst collapses the chain into one
+    codegen'd projection, so a 20-statement config costs the same as one
+    hand-written select."""
+    for text in statements:
+        call, cond = parse_statement(text)
+        df = _apply_one(df, call, cond)
+    return df

@@ -2519,6 +2519,45 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "transform_ottl",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' OR value > 400.0
+                THEN 'hot' ELSE 'std' END AS tier,
+           upper(event_type) AS sev,
+           CAST(floor(value) AS BIGINT) AS v_int,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS props,
+           sha256(event_type) AS h
+    FROM events
+    """,
+)
+def transform_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-ext OTTL transform statements (contrib transformprocessor analog):
+    a config-driven statement list COMPILED to one Catalyst projection —
+    where-gated sets (sequential semantics: later statements observe earlier
+    ones), converters, regex scrub, hash.  Map-entry editors (set/delete_key/
+    keep_keys/truncate_all on map<string,string>) are pytest-covered
+    (tests/test_ottl.py) — SQL map oracles aren't portable.  Int() truncates
+    toward zero like the upstream converter, so the oracle floors (values
+    here are positive)."""
+    from .functions.ottl import apply_ottl
+
+    ev = _t(spark, sf_dir, "events")
+    out = apply_ottl(
+        ev,
+        [
+            'set(tier, "hot") where event_type == "error" or value > 400.0',
+            'set(tier, "std") where tier == nil',
+            "set(sev, Upper(event_type))",
+            "set(v_int, Int(value))",
+            'replace_pattern(props, "[0-9]+", "#")',
+            "set(h, SHA256(event_type))",
+        ],
+    )
+    return out.select("event_id", "tier", "sev", "v_int", "props", "h")
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -2574,6 +2613,7 @@ _DRIVER_PRIORITY = [
     "agg_approx_quantile_audit",
     "text_unigram_logprob",
     "text_boilerplate_ratio",
+    "transform_ottl",
 ]
 
 

@@ -1,0 +1,133 @@
+"""OTTL transform statements → Column compiler: parser + semantics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.functions.ottl import apply_ottl, parse_statement
+
+
+@pytest.fixture()
+def frame(spark):
+    rows = [
+        (1, "src0", "user=bob pw=hunter2", {"env": "dev", "debug": "1", "sev": "5"}),
+        (2, "src1", "user=eve pw=secret", {"env": "prod", "region": "eu", "sev": "9"}),
+        (3, "src0", "no creds here", {}),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, source string, body string, attributes map<string,string>"
+    )
+
+
+def _collect(df):
+    return {r.id: r for r in df.collect()}
+
+
+def test_set_top_level_with_where(frame):
+    out = _collect(apply_ottl(frame, ['set(tier, "hot") where source == "src0"']))
+    assert out[1].tier == "hot" and out[3].tier == "hot"
+    assert out[2].tier is None  # where-gated rows keep the (absent) old value
+
+
+def test_set_map_entry_upsert(frame):
+    out = _collect(apply_ottl(frame, ['set(attributes["env"], "staging")']))
+    assert out[1].attributes["env"] == "staging"  # update
+    assert out[3].attributes["env"] == "staging"  # insert into empty map
+    assert out[2].attributes["region"] == "eu"    # untouched keys survive
+
+
+def test_delete_and_keep_keys(frame):
+    out = _collect(apply_ottl(frame, ['delete_key(attributes, "debug")']))
+    assert "debug" not in out[1].attributes and "env" in out[1].attributes
+    out = _collect(apply_ottl(frame, ['keep_keys(attributes, ["env"])']))
+    assert set(out[2].attributes) == {"env"}
+
+
+def test_replace_pattern_scrubs_body(frame):
+    out = _collect(apply_ottl(frame, ['replace_pattern(body, "pw=[^ ]+", "pw=***")']))
+    assert out[1].body == "user=bob pw=***"
+    assert out[3].body == "no creds here"
+
+
+def test_truncate_all_values(frame):
+    out = _collect(apply_ottl(frame, ["truncate_all(attributes, 2)"]))
+    assert out[2].attributes["region"] == "eu"
+    assert out[1].attributes["debug"] == "1"
+
+
+def test_converters_and_conditions(frame):
+    out = _collect(
+        apply_ottl(
+            frame,
+            [
+                'set(sev_int, Int(attributes["sev"]))',
+                'set(flag, "high") where Int(attributes["sev"]) >= 9',
+                'set(flag, "none") where attributes["sev"] == nil',
+            ],
+        )
+    )
+    assert out[1].sev_int == 5 and out[2].sev_int == 9 and out[3].sev_int is None
+    assert out[2].flag == "high" and out[3].flag == "none" and out[1].flag is None
+
+
+def test_boolean_operators_and_ismatch(frame):
+    out = _collect(
+        apply_ottl(
+            frame,
+            [
+                'set(m, "y") where IsMatch(body, "pw=") and not (source == "src1")',
+            ],
+        )
+    )
+    assert out[1].m == "y" and out[2].m is None and out[3].m is None
+
+
+def test_sha256_converter(frame):
+    import hashlib
+
+    out = _collect(apply_ottl(frame, ["set(h, SHA256(source))"]))
+    assert out[1].h == hashlib.sha256(b"src0").hexdigest()
+
+
+def test_statements_apply_in_order(frame):
+    out = _collect(
+        apply_ottl(
+            frame,
+            [
+                'set(attributes["env"], "X")',
+                'set(seen, attributes["env"])',  # must observe the prior set
+            ],
+        )
+    )
+    assert out[2].seen == "X"
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_statement('set(x, "unterminated')
+    with pytest.raises(ValueError):
+        parse_statement('set(x, 1) trailing junk')
+    # unknown editors parse fine (they're validated at apply time —
+    # see test_unknown_editor_rejected)
+    parse_statement("frobnicate(x, 1)")
+
+
+def test_unknown_editor_rejected(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unknown editor"):
+        apply_ottl(df, ["frobnicate(id, 1)"])
+
+
+def test_whole_chain_is_single_projection(frame):
+    """20 statements must fuse into one codegen projection — no UDFs, no
+    extra exchanges (the vectorized-vs-interpreter win the module claims)."""
+    stmts = [f'set(c{i}, "v{i}") where source == "src0"' for i in range(20)]
+    import contextlib
+    import io
+
+    df = apply_ottl(frame, stmts)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
