@@ -113,6 +113,20 @@ def spec_from_yaml(text: str) -> PipelineSpec:
             except ValueError as e:
                 raise ConfigError(str(e)) from e
         kwargs["relabel"] = rules
+    if "transform" in p:
+        # transformprocessor config analog: ordered OTTL statement list,
+        # parse-validated here so a bad statement fails at config load
+        from ..functions.ottl import parse_statement
+
+        stmts = list(p["transform"] or [])
+        for st in stmts:
+            if not isinstance(st, str):
+                raise ConfigError("transform entries must be statement strings")
+            try:
+                parse_statement(st)
+            except ValueError as e:
+                raise ConfigError(str(e)) from e
+        kwargs["transform"] = stmts
     return PipelineSpec(**kwargs)
 
 
@@ -167,4 +181,6 @@ def spec_to_yaml(spec: PipelineSpec) -> str:
             }
             for r in spec.relabel
         ]
+    if spec.transform:
+        doc["pipeline"]["transform"] = list(spec.transform)
     return yaml.safe_dump(doc, sort_keys=False)

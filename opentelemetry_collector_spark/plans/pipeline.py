@@ -65,6 +65,9 @@ class PipelineSpec:
     # relabel (receiver-side relabel_configs) then attributes (attraction)
     relabel: list[RelabelRule] = field(default_factory=list)
     attr_actions: list[AttrAction] = field(default_factory=list)
+    # OTTL transform statements (contrib transformprocessor analog), applied
+    # after attributes — parsed once, compiled to the same projection
+    transform: list[str] = field(default_factory=list)
     # ONE partitionBy(sink) write instead of cache + N filtered writes —
     # the only mode that holds at 10^12 rows (no full-dataset cache copy).
     single_pass_fanout: bool = True
@@ -115,6 +118,10 @@ def run_pipeline(
         parsed = apply_relabel(parsed, spec.relabel, protected=engine_columns(parsed, spec))
     if spec.attr_actions:
         parsed = apply_actions(parsed, spec.attr_actions)
+    if spec.transform:
+        from ..functions.ottl import apply_ottl
+
+        parsed = apply_ottl(parsed, spec.transform)
 
     # --- enrich (resource processor analog; broadcast hash join) ----------
     enriched = broadcast_enrich(parsed, lookup, on=spec.source_col, defaults=spec.lookup_defaults)

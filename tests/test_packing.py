@@ -219,3 +219,42 @@ def test_golden_config_file_runs_pipeline(spark):
     assert row["tid"] is None or len(row["tid"]) == 64  # sha256-hashed in place
     sinks = {r["sink"] for r in tagged.select("sink").distinct().collect()}
     assert "sink_hot" in sinks and "sink_default" in sinks
+
+
+YAML_TRANSFORM = YAML_OK.replace(
+    "  lookup_defaults: {env: unknown}",
+    """  lookup_defaults: {env: unknown}
+  transform:
+    - 'set(tier, "hot") where source == "src0"'
+    - 'replace_pattern(raw, "k=[0-9]+", "k=#")'
+""",
+)
+
+
+def test_yaml_transform_statements_round_trip_and_run(spark):
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+    spec = spec_from_yaml(YAML_TRANSFORM)
+    assert len(spec.transform) == 2
+    spec2 = spec_from_yaml(spec_to_yaml(spec))
+    assert spec2.transform == spec.transform
+
+    tel = gen_telemetry(spark, 200, seed=7, partitions=2)
+    out = run_pipeline(spark, tel, gen_lookup(spark), spec=spec)
+    rows = out["parsed"].select("source", "tier", "raw").collect()
+    for r in rows:
+        assert (r.tier == "hot") == (r.source == "src0")
+        assert "k=#" in r.raw and "k=1" not in r.raw
+
+
+def test_yaml_transform_bad_statement_fails_at_load():
+    bad = YAML_OK.replace(
+        "  lookup_defaults: {env: unknown}",
+        """  lookup_defaults: {env: unknown}
+  transform:
+    - 'set(x, "unterminated'
+""",
+    )
+    with pytest.raises(ConfigError):
+        spec_from_yaml(bad)
