@@ -75,6 +75,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_boilerplate_ratio",
     "transform_ottl",
+    "hist_exponential",
 ]
 
 

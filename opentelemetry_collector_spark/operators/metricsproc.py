@@ -225,3 +225,41 @@ def assemble_traces(
         (epoch_micros(F.max(ts_col)) - epoch_micros(F.min(ts_col))).alias("duration_us"),
         F.array_join(F.transform(ordered, lambda s: s[span_col]), sep).alias("path"),
     )
+
+
+def exponential_histogram(
+    df: DataFrame,
+    dim_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """OTel exponential-histogram bucketing (pdata ExponentialHistogram data
+    model, public spec): base = 2^(2^-scale); a positive value v lands in
+    bucket index ceil(log2(v)·2^scale) − 1, so bucket i covers
+    (base^i, base^(i+1)].  Zero/negative values go to the zero bucket (the
+    spec's zero_count; this engine has no negative range in its metrics).
+
+    Per *dim_col* emit zero_count, per-index bucket counts, and min/max
+    index — one hash aggregate after a codegen index projection; only
+    (dim, index) pairs shuffle.  Unlike explicit bounds, the index space is
+    unbounded and self-scaling, which is why the collector's OTLP path
+    prefers it at high dynamic range."""
+    v = F.col(value_col)
+    idx = F.when(
+        v > 0, (F.ceil(F.log2(v) * F.lit(float(1 << scale))) - 1).cast("long")
+    )
+    staged = df.select(F.col(dim_col), idx.alias("bucket_idx"))
+    return (
+        staged.groupBy(dim_col, "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(dim_col)
+        .agg(
+            F.sum(F.when(F.col("bucket_idx").isNull(), F.col("n")).otherwise(0))
+            .alias("zero_count"),
+            F.min("bucket_idx").alias("idx_min"),
+            F.max("bucket_idx").alias("idx_max"),
+            F.count(F.when(F.col("bucket_idx").isNotNull(), 1)).alias("n_buckets"),
+            F.sum(F.when(F.col("bucket_idx").isNotNull(), F.col("n")).otherwise(0))
+            .alias("n_values"),
+        )
+    )

@@ -2558,6 +2558,39 @@ def transform_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "tier", "sev", "v_int", "props", "h")
 
 
+@_q(
+    "hist_exponential",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value > 0
+                  THEN CAST(ceil(log2(value) * 4) - 1 AS BIGINT) END AS bucket_idx
+      FROM events),
+    g AS (SELECT event_type, bucket_idx, count(*) AS n FROM b GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(sum(CASE WHEN bucket_idx IS NULL THEN n ELSE 0 END) AS BIGINT)
+             AS zero_count,
+           min(bucket_idx) AS idx_min,
+           max(bucket_idx) AS idx_max,
+           count(CASE WHEN bucket_idx IS NOT NULL THEN 1 END) AS n_buckets,
+           CAST(sum(CASE WHEN bucket_idx IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+             AS n_values
+    FROM g GROUP BY event_type
+    """,
+)
+def hist_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext OTel exponential-histogram bucketing (pdata ExponentialHistogram
+    spec, scale=2 → base 2^0.25): self-scaling log-spaced buckets, the OTLP
+    metrics path's preferred representation at high dynamic range.  One
+    codegen index projection + two hash aggregates; only (dim, index) pairs
+    shuffle."""
+    from .operators.metricsproc import exponential_histogram
+
+    return exponential_histogram(
+        _t(spark, sf_dir, "events"), "event_type", "value", scale=2
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -2614,6 +2647,7 @@ _DRIVER_PRIORITY = [
     "text_unigram_logprob",
     "text_boilerplate_ratio",
     "transform_ottl",
+    "hist_exponential",
 ]
 
 

@@ -147,3 +147,19 @@ def test_sketch_audits_flag_out_of_tolerance(spark):
 
     q = approx_quantile_audit(df, "k", "v", [0.5], tolerance=0.10).collect()[0]
     assert q.ok_p0_5 == 1 and abs(q.p0_5 - 499.5) < 1e-6
+
+
+def test_exponential_histogram_bucket_edges(spark):
+    from opentelemetry_collector_spark.operators.metricsproc import (
+        exponential_histogram,
+    )
+
+    # scale=0 -> base 2: bucket i covers (2^i, 2^(i+1)]
+    # v=1.0 -> ceil(log2(1)*1)-1 = -1; v=2.0 -> 0; v=2.5 -> ceil(1.32)-1 = 1
+    # v=0 -> zero bucket
+    rows = [("d", 1.0), ("d", 2.0), ("d", 2.5), ("d", 0.0)]
+    df = spark.createDataFrame(rows, "d string, v double")
+    out = exponential_histogram(df, "d", "v", scale=0).collect()[0]
+    assert out.zero_count == 1
+    assert out.idx_min == -1 and out.idx_max == 1
+    assert out.n_buckets == 3 and out.n_values == 3
