@@ -144,6 +144,10 @@ def run_stream_pipeline(
                 from ..operators.attraction import apply_actions
 
                 df = apply_actions(df, spec.attr_actions)
+            if spec.transform:
+                from ..functions.ottl import apply_ottl
+
+                df = apply_ottl(df, spec.transform)
         enriched = broadcast_enrich(df, lookup, on="source", defaults={"env": "unknown"})
         tagged = route_tag(enriched, routes)
         io.append_group_partitioned(tagged, "sink", sinks, f"q{stream_tag()}-batch{batch_id:08d}")

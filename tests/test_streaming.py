@@ -449,3 +449,30 @@ def test_streaming_red_metrics_matches_batch_on_finalized_windows(spark, tmp_pat
     }
     for k, v in got.items():
         assert want[k] == v  # every finalized streaming row equals the batch row
+
+
+def test_stream_pipeline_applies_ottl_transform(spark, tmp_path, seq_dir):
+    from opentelemetry_collector_spark.plans.pipeline import PipelineSpec
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    spec = PipelineSpec(
+        routes=ROUTES,
+        transform=['set(tier, "hot") where source == "src0"'],
+    )
+    sink_root = str(tmp_path / "sinks")
+    q = run_stream_pipeline(
+        spark,
+        seq_dir,
+        gen_lookup(spark),
+        ROUTES,
+        sink_root,
+        str(tmp_path / "ckpt"),
+        spec=spec,
+    )
+    q.awaitTermination(120)
+    io = ParquetSnapshotIO(root=sink_root)
+    hot = io.read(spark, "sink_hot")
+    assert hot.count() > 0
+    assert hot.filter(F.col("tier") != "hot").count() == 0
+    dflt = io.read(spark, "sink_default")
+    assert dflt.filter(F.col("source") != "src0").filter(F.col("tier").isNotNull()).count() == 0
