@@ -284,3 +284,40 @@ def test_token_entropy_permutation_invariant_and_bounded(spark, bag, seed):
     assert out[1].entropy_bits == out[2].entropy_bits
     assert out[1].n_tok == len(bag)
     assert 0.0 <= out[1].entropy_bits <= math.log2(out[1].n_types) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# exponential histogram vs a pure-python bucket walk
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    scale=st.sampled_from([0, 1, 2]),
+)
+@SETTINGS
+def test_exponential_histogram_matches_python_reference(spark, vals, scale):
+    import math
+
+    from opentelemetry_collector_spark.operators.metricsproc import (
+        exponential_histogram,
+    )
+
+    df = spark.createDataFrame([("d", float(v)) for v in vals], "d string, v double")
+    got = exponential_histogram(df, "d", "v", scale=scale).collect()[0]
+
+    idxs = [
+        math.ceil(math.log2(v) * (1 << scale)) - 1 for v in vals if v > 0
+    ]
+    zero = sum(1 for v in vals if v <= 0)
+    assert got.zero_count == zero
+    assert got.n_values == len(idxs)
+    if idxs:
+        assert got.idx_min == min(idxs) and got.idx_max == max(idxs)
+        assert got.n_buckets == len(set(idxs))
+    else:
+        assert got.idx_min is None and got.n_buckets == 0
