@@ -233,9 +233,11 @@ def _compile(node, df: DataFrame) -> Column:
     if isinstance(node, Lit):
         return F.lit(node.value)
     if isinstance(node, Path):
+        if node.name not in df.columns:
+            return F.lit(None)  # missing column reads as nil (bare or indexed)
         if node.key is not None:
             return F.col(node.name).getItem(node.key)
-        return F.col(node.name) if node.name in df.columns else F.lit(None)
+        return F.col(node.name)
     if isinstance(node, Call):
         if node.fn == "IsMatch":
             pat = node.args[1]
@@ -268,8 +270,11 @@ def _is_nil(node) -> bool:
 
 
 def _map_upsert(m: Column, key: str, value: Column) -> Column:
+    # a NULL map still receives the key (upstream materializes the entry;
+    # map_concat/map_filter are NULL-propagating so guard explicitly)
     entry = F.create_map(F.lit(key), value.cast("string"))
-    return F.map_concat(F.map_filter(m, lambda k, _: k != key), entry)
+    merged = F.map_concat(F.map_filter(m, lambda k, _: k != key), entry)
+    return F.when(m.isNull(), entry).otherwise(merged)
 
 
 def _apply_one(df: DataFrame, call: Call, cond) -> DataFrame:
@@ -324,6 +329,59 @@ def _apply_one(df: DataFrame, call: Call, cond) -> DataFrame:
 def parse_statement(text: str) -> tuple[Call, object | None]:
     """Parse one OTTL statement into (editor call, optional where-AST)."""
     return _Parser(_tokenize(text)).statement()
+
+
+# editor name -> (arity, per-arg AST type requirement; None = any expression)
+_EDITOR_SIG = {
+    "set": (2, (Path, None)),
+    "delete_key": (2, (Path, Lit)),
+    "keep_keys": (2, (Path, ListLit)),
+    "replace_pattern": (3, (Path, Lit, Lit)),
+    "truncate_all": (2, (Path, Lit)),
+}
+
+
+def _validate_expr(node) -> None:
+    if isinstance(node, Call):
+        if node.fn == "IsMatch":
+            if len(node.args) != 2 or not isinstance(node.args[1], Lit):
+                raise ValueError('OTTL: IsMatch(path, "pattern") takes 2 args')
+            _validate_expr(node.args[0])
+            return
+        if node.fn not in _CONVERTERS:
+            raise ValueError(f"OTTL: unknown converter {node.fn!r}")
+        if len(node.args) != 1:
+            raise ValueError(f"OTTL: {node.fn}(value) takes exactly 1 arg")
+        _validate_expr(node.args[0])
+    elif isinstance(node, BinOp):
+        _validate_expr(node.left)
+        _validate_expr(node.right)
+    elif isinstance(node, Not):
+        _validate_expr(node.expr)
+
+
+def validate_statement(text: str) -> tuple[Call, object | None]:
+    """Parse AND semantically check one statement (editor name, arity, arg
+    shapes, converter names) so a bad config fails at load time with
+    ``ValueError`` instead of an ``IndexError`` mid-pipeline.  Mirrors the
+    checks ``_apply_one``/``_compile`` perform lazily."""
+    call, cond = parse_statement(text)
+    sig = _EDITOR_SIG.get(call.fn)
+    if sig is None:
+        raise ValueError(f"OTTL: unknown editor {call.fn!r}")
+    arity, shapes = sig
+    if len(call.args) != arity:
+        raise ValueError(f"OTTL: {call.fn} takes {arity} args, got {len(call.args)}")
+    for arg, want in zip(call.args, shapes):
+        if want is not None and not isinstance(arg, want):
+            raise ValueError(
+                f"OTTL: {call.fn} arg must be {want.__name__}, got {type(arg).__name__}"
+            )
+        if want is None:
+            _validate_expr(arg)
+    if cond is not None:
+        _validate_expr(cond)
+    return call, cond
 
 
 def apply_ottl(df: DataFrame, statements: list[str]) -> DataFrame:

@@ -116,14 +116,14 @@ def spec_from_yaml(text: str) -> PipelineSpec:
     if "transform" in p:
         # transformprocessor config analog: ordered OTTL statement list,
         # parse-validated here so a bad statement fails at config load
-        from ..functions.ottl import parse_statement
+        from ..functions.ottl import validate_statement
 
         stmts = list(p["transform"] or [])
         for st in stmts:
             if not isinstance(st, str):
                 raise ConfigError("transform entries must be statement strings")
             try:
-                parse_statement(st)
+                validate_statement(st)
             except ValueError as e:
                 raise ConfigError(str(e)) from e
         kwargs["transform"] = stmts

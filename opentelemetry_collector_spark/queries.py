@@ -2456,8 +2456,11 @@ def agg_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ext quantile-sketch audit: exact interpolated p50/p90 doc lengths
     per source plus value-checked contracts that percentile_approx (the
-    mergeable one-pass sketch a 100 TB run executes) lands within 5% of
-    each.  Companion to len_quantiles_by_source, which documents the swap."""
+    mergeable one-pass sketch a 100 TB run executes) lands within the
+    operator's default 10% tolerance of each (loose enough to absorb the
+    nearest-rank vs interpolated discretization gap — see
+    approx_quantile_audit's docstring).  Companion to
+    len_quantiles_by_source, which documents the swap."""
     from .operators.aggregates import approx_quantile_audit
 
     return approx_quantile_audit(

@@ -131,3 +131,46 @@ def test_whole_chain_is_single_projection(frame):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_validate_statement_catches_bad_configs():
+    """Wrong arity / unknown names must fail at config load (ValueError),
+    never surface as an IndexError mid-pipeline (review finding r3)."""
+    from opentelemetry_collector_spark.functions.ottl import validate_statement
+
+    for bad in [
+        "set(tier)",                      # missing value arg
+        "delete_key(attributes)",         # missing key arg
+        'replace_pattern(body, "x")',     # missing replacement arg
+        "Frobnicate(x, 1)",               # unknown editor
+        'set(x, Frobnicate(y))',          # unknown converter in expression
+        'set(x, Int(y, z))',              # converter arity
+        'set(x, 1) where IsMatch(body)',  # IsMatch arity in condition
+        'keep_keys(attributes, "k")',     # list arg required
+    ]:
+        with pytest.raises(ValueError):
+            validate_statement(bad)
+    # well-formed statements still pass
+    validate_statement('set(attributes["env"], "prod") where source == "src0"')
+    validate_statement('replace_pattern(body, "pw=[^ ]+", "pw=***")')
+
+
+def test_set_map_entry_on_null_map(spark):
+    """set(attributes["k"], v) materializes the entry even when the map
+    column is NULL — upstream transformprocessor semantics (review finding)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, {"a": "b"})], "id long, attributes map<string,string>"
+    )
+    out = _collect(apply_ottl(df, ['set(attributes["k"], "v")']))
+    assert out[1].attributes == {"k": "v"}
+    assert out[2].attributes == {"a": "b", "k": "v"}
+
+
+def test_indexed_path_on_missing_column_reads_nil(spark):
+    """attributes["env"] on a frame without an attributes column evaluates
+    to nil, same as a bare missing path (review finding)."""
+    df = spark.createDataFrame([(1,)], "id long")
+    out = _collect(
+        apply_ottl(df, ['set(flag, "hit") where attributes["env"] == nil'])
+    )
+    assert out[1].flag == "hit"
