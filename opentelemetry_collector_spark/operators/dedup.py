@@ -184,6 +184,24 @@ def ngram_jaccard_pairs(
     sh = shingle_hashes(df, id_col, text_col, n=n, mode=mode).distinct().persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     join_sh = sh
+    if candidates is not None:
+        # restrict BOTH sides of the pair join to docs that appear in some
+        # candidate pair BEFORE self-joining — at corpus scale the candidate
+        # set is a tiny fraction of the corpus, and gating only after the
+        # intersection (a pair-level semi-join) would still pay the full
+        # all-docs co-shingle explosion the LSH gate exists to avoid.
+        # Semantics-preserving: a candidate pair's members are candidate ids
+        # by construction, so their shingle rows all survive; the pair-level
+        # semi-join below still removes co-shingled non-candidate pairs.
+        # Persist: the candidates plan (an LSH join + distinct) now feeds two
+        # consumers (cand_ids + the pair gate).  cand_ids uses one explode —
+        # not a union of two selects (two plan evaluations) — and no distinct
+        # (left_semi builds a hash set; a pre-distinct is a wasted exchange).
+        candidates = candidates.persist()
+        cand_ids = candidates.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+        )
+        join_sh = join_sh.join(cand_ids, on="id", how="left_semi")
     if max_df is not None:
         hot = (
             sh.groupBy("h")
@@ -253,6 +271,7 @@ def dedup_corpus(
     mode: str = "raw",
     candidates: DataFrame | None = None,
     max_df: int | None = None,
+    survivors: DataFrame | None = None,
 ) -> DataFrame:
     """The full dedup ladder composed end-to-end (the corpus-clean pass):
 
@@ -266,9 +285,11 @@ def dedup_corpus(
     verifies LSH survivors; without it the verify self-joins on shingles
     (exact, used by the correctness gate at small SF)."""
     # survivors feeds the verify pipeline AND the final anti-join (and the
-    # LSH-gated caller's signature path — same canonical plan, same cache
-    # entry); at petabyte scale materialize it to a snapshot table instead
-    survivors = dedup_keep_canonical(df, id_col, text_col).persist()
+    # LSH-gated caller's signature path — pass the SAME persisted frame via
+    # ``survivors=`` so the exact-dedup pass isn't recomputed per consumer);
+    # at petabyte scale materialize it to a snapshot table instead
+    if survivors is None:
+        survivors = dedup_keep_canonical(df, id_col, text_col).persist()
     pairs = ngram_jaccard_pairs(
         survivors, id_col, text_col, threshold=jaccard_threshold, mode=mode,
         candidates=candidates, max_df=max_df,

@@ -1359,12 +1359,12 @@ def dedup_corpus_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    surv = dedup_keep_canonical(d, "doc_id", "text")
+    surv = dedup_keep_canonical(d, "doc_id", "text").persist()
     sig = minhash_signatures(surv, "doc_id", "text", k=16, mode="portable")
     cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=4, mode="portable")
     return dedup_corpus(
         d, "doc_id", "text", jaccard_threshold=0.5, mode="raw",
-        candidates=cand, max_df=64,
+        candidates=cand, max_df=64, survivors=surv,
     ).select("doc_id", "source")
 
 
