@@ -65,13 +65,18 @@ def connected_components(
             "node", F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp")
         )
         # pointer jump: comp(n) ← comp(comp(n)); comp ids are themselves
-        # nodes, and their labels only ever shrink, so this is monotone
+        # nodes, and their labels only ever shrink, so this is monotone.
+        # (A second jump per round — pointer doubling — measured faster on
+        # chain-heavy graphs but SLOWER on real near-dup graphs, whose
+        # clusters have diameter ≤2: the extra |V| self-join buys nothing.)
         jumped = stepped.alias("x").join(
             stepped.select(F.col("node").alias("comp"), F.col("comp").alias("jc")),
             on="comp",
             how="left",
         ).select("node", F.coalesce("jc", "comp").alias("comp"))
-        new = jumped.localCheckpoint(eager=True)
+        # lazy localCheckpoint: the convergence aggregate right below is the
+        # materializing action — eager=True would run a separate job first
+        new = jumped.localCheckpoint(eager=False)
         # convergence: labels only ever DECREASE elementwise, so the label
         # sum is strictly monotone until fixpoint — one narrow aggregate
         # over the checkpointed frame beats a join-and-diff per round
