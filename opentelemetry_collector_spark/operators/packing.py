@@ -177,3 +177,52 @@ def chunk_token_stream(df: DataFrame, max_len: int = 2048, tokens_col: str = "to
     return df.select(F.col(tokens_col).alias("tokens")).mapInPandas(
         _seq_chunk_iter(max_len), "tokens array<int>"
     )
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
+    """Deterministic global training-epoch shuffle: a total order derived
+    from md5(id:seed), exposed as ``shuffle_pos`` (1-based).
+
+    Every epoch of a pretraining run consumes the corpus in a fresh but
+    REPRODUCIBLE permutation; hashing the id with the epoch seed gives the
+    same permutation on any cluster size (md5 is engine-portable, unlike
+    xxhash64/rand).  The plan is one narrow global sort over (hash, id) —
+    a range-partitioned exchange, the same shape as any ORDER BY at scale;
+    for write-out pipelines that only need per-file randomness, sort WITHIN
+    partitions by the same key instead (repartitionByRange(hash) +
+    sortWithinPartitions) and skip the global merge.  The id tie-break
+    makes the permutation total even on the 2^-64 hash-collision path.
+
+    Position assignment is the two-phase distributed global rank — NOT a
+    global Window.orderBy, which collapses every row into ONE partition
+    (the canonical window-function scale-killer): (1) range-repartition +
+    sort within partitions on (key, id); (2) rank within each partition;
+    (3) add per-partition row-count prefix offsets (a #partitions-row
+    aggregate, broadcast back).  Global rank is independent of where the
+    sampled range boundaries land, so the output is deterministic."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    keyed = (
+        df.select(F.col(id_col), key.alias("_sk"))
+        .repartitionByRange(F.col("_sk"), F.col(id_col))
+        .sortWithinPartitions("_sk", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        # persist: the frame feeds both the offsets aggregate and the rank
+        # pass; range boundaries are SAMPLED per evaluation, so without
+        # pinning one materialization the two consumers could see different
+        # partition ids and the offsets would mis-align
+        .persist()
+    )
+    # prefix offsets: #partitions rows — window over that tiny frame is fine
+    counts = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    local_w = Window.partitionBy("_pid").orderBy(F.col("_sk").asc(), F.col(id_col).asc())
+    return (
+        keyed.withColumn("_r", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), on="_pid")
+        .select(F.col(id_col), (F.col("_off") + F.col("_r")).alias("shuffle_pos"))
+    )

@@ -1,0 +1,128 @@
+"""Stanza log-operator analogs: multiline recombine, severity mapping,
+interval log-dedup (SURVEY.md §2.1/§2.4 ext).
+
+Reference analogs (upstream collector ecosystem, public docs):
+
+- the filelog receiver's stanza ``recombine`` operator: consecutive raw
+  lines are folded into one record, split wherever a line matches the
+  ``is_first_entry`` pattern (stack traces, wrapped JSON, continuation
+  lines).  The reference does this with a per-file stateful line scanner;
+  here it is the classic gaps-and-islands plan: a running count of
+  first-line matches per stream assigns every line its record id (ONE
+  window pass, partitioned by stream — streams are independent, so 100 TB
+  of logs parallelize by stream with no cross-partition state), then one
+  groupBy(stream, record) rebuilds each record with an order-preserving
+  sorted aggregate.
+- the stanza ``severity`` parser: config-driven mapping from raw severity
+  strings to the OpenTelemetry severity number/text pairs.  Compiles to a
+  single CASE chain — plan-time config, codegen execution, no UDF.
+- the contrib ``logdedup`` processor: identical records within an interval
+  collapse to one row carrying ``log_count`` and first/last observed
+  timestamps.  Maps 1:1 onto a tumbling event-time window aggregate —
+  partial (map-side) counts make the shuffle carry one row per distinct
+  (window, body) combination, not one per record.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# OpenTelemetry severity numbers (log data model): text -> (number, text)
+OTEL_SEVERITIES = {
+    "trace": 1,
+    "debug": 5,
+    "info": 9,
+    "warn": 13,
+    "error": 17,
+    "fatal": 21,
+}
+
+
+def recombine_multiline(
+    df: DataFrame,
+    stream_col: str,
+    order_col: str,
+    line_col: str,
+    is_first: Column,
+    sep: str = "\n",
+) -> DataFrame:
+    """(stream, record_id, first_<order>, n_lines, record): fold consecutive
+    lines into records, starting a new record wherever ``is_first`` is true.
+
+    Lines BEFORE the first match in a stream form record_id 0 (the stanza
+    operator emits such orphan lines as their own record rather than
+    dropping them — same here).  ``order_col`` must be unique per stream
+    (a line number / offset); the rebuild sorts on it so the concatenation
+    is deterministic under any partitioning.
+    """
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    lines = df.select(
+        F.col(stream_col),
+        F.col(order_col),
+        F.col(line_col),
+        F.sum(is_first.cast("long")).over(w).alias("record_id"),
+    )
+    # order-preserving rebuild: sort (order, line) structs inside the group
+    # (array_sort on the struct sorts by the first field), then strip the
+    # order component — no second window pass, one hash aggregate
+    merged = lines.groupBy(stream_col, "record_id").agg(
+        F.min(order_col).alias(f"first_{order_col}"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(order_col), F.col(line_col)))),
+                lambda s: s[line_col],
+            ),
+            sep,
+        ).alias("record"),
+    )
+    return merged
+
+
+def severity_map(
+    df: DataFrame,
+    text_col: str,
+    mapping: dict[str, str] | None = None,
+    default_number: int = 0,
+    default_text: str = "UNSPECIFIED",
+) -> DataFrame:
+    """Append ``severity_number`` / ``severity_text`` derived from
+    ``text_col`` via a config mapping of raw values to OTel severity names
+    (case-insensitive).  Unmapped values get the defaults (OTel severity 0,
+    UNSPECIFIED).  The whole mapping compiles into one CASE chain."""
+    mapping = mapping or {}
+    lowered = F.lower(F.col(text_col))
+    num: Column = F.lit(default_number)
+    txt: Column = F.lit(default_text)
+    # build the CASE chain in reverse so the first dict entry wins
+    for raw, sev in reversed(list(mapping.items())):
+        sev_l = sev.lower()
+        if sev_l not in OTEL_SEVERITIES:
+            raise ValueError(f"unknown OTel severity {sev!r}")
+        hit = lowered == raw.lower()
+        num = F.when(hit, F.lit(OTEL_SEVERITIES[sev_l])).otherwise(num)
+        txt = F.when(hit, F.lit(sev_l.upper())).otherwise(txt)
+    return df.withColumn("severity_number", num.cast("long")).withColumn(
+        "severity_text", txt
+    )
+
+
+def logdedup_interval(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    interval: str = "15 minutes",
+) -> DataFrame:
+    """Collapse records with identical ``key_cols`` inside each tumbling
+    ``interval`` window into one row with ``log_count`` and the first/last
+    observed timestamps — the contrib logdedup processor's emit shape."""
+    return (
+        df.groupBy(F.window(ts_col, interval).alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min(ts_col).alias("first_observed"),
+            F.max(ts_col).alias("last_observed"),
+        )
+        .select(F.col("w.start").alias("ws"), *key_cols, "log_count", "first_observed", "last_observed")
+    )

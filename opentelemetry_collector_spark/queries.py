@@ -2594,6 +2594,109 @@ def hist_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# stanza log-operator analogs (operators/stanza.py) + epoch shuffle
+# --------------------------------------------------------------------------
+
+@_q(
+    "log_recombine_multiline",
+    """
+    WITH lines AS (
+      SELECT user_id, event_id, event_type || ' ' || props AS line,
+             CAST(SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS record_id
+      FROM events)
+    SELECT user_id, record_id, min(event_id) AS first_event_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           string_agg(line, chr(10) ORDER BY event_id) AS record
+    FROM lines GROUP BY user_id, record_id
+    """,
+)
+def log_recombine_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext filelog/stanza ``recombine`` operator: fold consecutive log
+    lines into multiline records per stream, splitting wherever a line
+    matches the first-entry rule (here: any non-'view' event starts a
+    record; 'view' lines are continuations).  Gaps-and-islands — one
+    window pass per stream + one order-preserving rebuild aggregate."""
+    from .operators.stanza import recombine_multiline
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line", F.concat_ws(" ", F.col("event_type"), F.col("props"))
+    )
+    return recombine_multiline(
+        ev, "user_id", "event_id", "line", is_first=F.col("event_type") != F.lit("view")
+    )
+
+
+@_q(
+    "log_severity_map",
+    """
+    SELECT event_id, event_type,
+           CAST(CASE event_type WHEN 'error' THEN 17 WHEN 'purchase' THEN 13
+                WHEN 'signup' THEN 9 WHEN 'click' THEN 9 WHEN 'view' THEN 5
+                ELSE 0 END AS BIGINT) AS severity_number,
+           CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'purchase' THEN 'WARN'
+                WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'INFO'
+                WHEN 'view' THEN 'DEBUG' ELSE 'UNSPECIFIED' END AS severity_text
+    FROM events
+    """,
+)
+def log_severity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-ext stanza ``severity`` parser: config mapping from raw values to
+    OTel severity number/text, compiled to one CASE chain (codegen)."""
+    from .operators.stanza import severity_map
+
+    ev = _t(spark, sf_dir, "events")
+    return severity_map(
+        ev,
+        "event_type",
+        {"error": "error", "purchase": "warn", "signup": "info",
+         "click": "info", "view": "debug"},
+    ).select("event_id", "event_type", "severity_number", "severity_text")
+
+
+@_q(
+    "log_dedup_interval",
+    """
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws, event_type, props,
+           CAST(count(*) AS BIGINT) AS log_count,
+           min(ts) AS first_observed, max(ts) AS last_observed
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def log_dedup_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-ext contrib ``logdedup`` processor: identical records inside each
+    15-minute tumbling window collapse to one row with log_count and
+    first/last observed timestamps.  Partial aggregation means the shuffle
+    carries one row per distinct (window, body), not one per record.
+    (15-minute buckets divide a day evenly, so Spark's epoch-anchored
+    window() and DuckDB's time_bucket agree on boundaries.)"""
+    from .operators.stanza import logdedup_interval
+
+    ev = _t(spark, sf_dir, "events")
+    return logdedup_interval(ev, "ts", ["event_type", "props"], "15 minutes")
+
+
+@_q(
+    "sample_epoch_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS BIGINT)
+             AS shuffle_pos
+    FROM documents
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext deterministic training-epoch shuffle: reproducible global
+    permutation from md5(id:seed), positions assigned by the two-phase
+    distributed rank (range partition → local rank → broadcast prefix
+    offsets) — never a single-partition global window."""
+    from .operators.packing import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf_dir, "documents"), "doc_id", seed=42)
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -2651,6 +2754,10 @@ _DRIVER_PRIORITY = [
     "text_boilerplate_ratio",
     "transform_ottl",
     "hist_exponential",
+    "log_recombine_multiline",
+    "log_severity_map",
+    "log_dedup_interval",
+    "sample_epoch_shuffle",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Stanza log-operator analogs: recombine, severity map, logdedup, shuffle."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.operators.stanza import (
+    logdedup_interval,
+    recombine_multiline,
+    severity_map,
+)
+
+
+@pytest.fixture()
+def log_lines(spark):
+    rows = [
+        # stream A: orphan continuation first, then two records
+        ("A", 1, "  at lib.f(x)"),        # orphan (record 0)
+        ("A", 2, "ERROR boom"),           # record 1
+        ("A", 3, "  at main()"),
+        ("A", 4, "  at run()"),
+        ("A", 5, "ERROR again"),          # record 2 (single line follows)
+        # stream B: single-line records only
+        ("B", 1, "ERROR one"),
+        ("B", 2, "ERROR two"),
+    ]
+    return spark.createDataFrame(rows, "stream string, line_no long, line string")
+
+
+def test_recombine_islands_and_orphans(log_lines):
+    out = recombine_multiline(
+        log_lines, "stream", "line_no", "line",
+        is_first=~F.col("line").startswith("  "),
+    )
+    recs = {(r.stream, r.record_id): r for r in out.collect()}
+    assert recs[("A", 0)].record == "  at lib.f(x)"      # orphan kept
+    assert recs[("A", 1)].record == "ERROR boom\n  at main()\n  at run()"
+    assert recs[("A", 1)].n_lines == 3
+    assert recs[("A", 2)].record == "ERROR again"
+    assert recs[("B", 1)].n_lines == 1 and recs[("B", 2)].n_lines == 1
+
+
+def test_recombine_deterministic_under_repartition(log_lines):
+    a = recombine_multiline(
+        log_lines, "stream", "line_no", "line",
+        is_first=~F.col("line").startswith("  "),
+    ).collect()
+    b = recombine_multiline(
+        log_lines.repartition(7), "stream", "line_no", "line",
+        is_first=~F.col("line").startswith("  "),
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_severity_map_defaults_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Error"), (2, "WARN_ISH"), (3, "fatal")], "id long, lvl string"
+    )
+    out = {r.id: r for r in severity_map(
+        df, "lvl", {"error": "error", "fatal": "fatal"}
+    ).collect()}
+    assert (out[1].severity_number, out[1].severity_text) == (17, "ERROR")
+    assert (out[2].severity_number, out[2].severity_text) == (0, "UNSPECIFIED")
+    assert (out[3].severity_number, out[3].severity_text) == (21, "FATAL")
+    with pytest.raises(ValueError, match="unknown OTel severity"):
+        severity_map(df, "lvl", {"x": "noise"})
+
+
+def test_logdedup_interval_boundaries(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-01 00:14:59", "a"),   # same 15-min window
+        (3, "2024-01-01 00:15:00", "a"),   # exactly on the boundary → next
+        (4, "2024-01-01 00:05:00", "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, body string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = logdedup_interval(df, "ts", ["body"], "15 minutes")
+    got = {(str(r.ws), r.body): r.log_count for r in out.collect()}
+    assert got[("2024-01-01 00:00:00", "a")] == 2
+    assert got[("2024-01-01 00:15:00", "a")] == 1
+    assert got[("2024-01-01 00:00:00", "b")] == 1
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    from opentelemetry_collector_spark.operators.packing import epoch_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(df, "doc_id", seed=7)
+    pos = [r.shuffle_pos for r in a.orderBy("doc_id").collect()]
+    assert sorted(pos) == list(range(1, 501))            # total permutation
+    b = epoch_shuffle(df.repartition(13), "doc_id", seed=7)
+    assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+    c = epoch_shuffle(df, "doc_id", seed=8)
+    assert a.orderBy("doc_id").collect() != c.orderBy("doc_id").collect()
