@@ -283,7 +283,9 @@ def test_token_entropy_permutation_invariant_and_bounded(spark, bag, seed):
     out = {r.id: r for r in token_entropy(df, "id", "text").collect()}
     assert out[1].entropy_bits == out[2].entropy_bits
     assert out[1].n_tok == len(bag)
-    assert 0.0 <= out[1].entropy_bits <= math.log2(out[1].n_types) + 1e-9
+    # entropy_bits is rounded to 3 decimals by the operator, so a uniform
+    # bag can round UP past the exact log2(n_types) bound (1.58496→1.585)
+    assert 0.0 <= out[1].entropy_bits <= math.log2(out[1].n_types) + 5e-4
 
 
 # ---------------------------------------------------------------------------
