@@ -384,6 +384,29 @@ def validate_statement(text: str) -> tuple[Call, object | None]:
     return call, cond
 
 
+def parse_condition(text: str):
+    """Parse a bare OTTL condition (no editor call) into its AST — the form
+    the filter processor and routing connector configure with."""
+    p = _Parser(_tokenize(text))
+    cond = p.condition()
+    if p.peek() is not None:
+        raise ValueError(f"OTTL: trailing tokens at {p.peek()}")
+    return cond
+
+
+def validate_condition(text: str):
+    """Parse AND semantically check a bare condition (converter names,
+    arities) so a bad config fails at load time."""
+    cond = parse_condition(text)
+    _validate_expr(cond)
+    return cond
+
+
+def compile_condition(df: DataFrame, text: str) -> Column:
+    """Compile a bare OTTL condition to one boolean Column (codegen)."""
+    return _compile(validate_condition(text), df)
+
+
 def apply_ottl(df: DataFrame, statements: list[str]) -> DataFrame:
     """Compile and apply OTTL statements in order.  Each statement becomes a
     single ``withColumn`` projection; Catalyst collapses the chain into one

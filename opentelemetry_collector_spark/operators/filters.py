@@ -58,3 +58,20 @@ def include_exclude_filter(
     if exclude is not None:
         pred = pred & ~exclude.predicate()
     return df.filter(pred)
+
+
+def filter_ottl_drop(df: DataFrame, drop_conditions: list[str]) -> DataFrame:
+    """Contrib filter-processor semantics with OTTL conditions: a record is
+    DROPPED when ANY condition evaluates true; conditions that evaluate
+    NULL (e.g. a nil-valued path comparison) keep the record, matching the
+    upstream error_mode: ignore behavior.  All conditions compile into one
+    boolean Column — same pushdown-friendly shape as include/exclude."""
+    from ..functions.ottl import compile_condition
+
+    if not drop_conditions:
+        return df
+    dropped: Column | None = None
+    for text in drop_conditions:
+        c = compile_condition(df, text)
+        dropped = c if dropped is None else (dropped | c)
+    return df.filter(~F.coalesce(dropped, F.lit(False)))

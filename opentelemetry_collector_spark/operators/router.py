@@ -93,3 +93,26 @@ def exhaustiveness_check(df: DataFrame, routed: dict[str, DataFrame], tag_col: s
     batch assertion, fanoutconnector_test.go ~approx)."""
     union = union_sources(list(routed.values()))
     return df.exceptAll(union.select(*df.columns))
+
+
+def route_tag_ottl(
+    df: DataFrame,
+    ottl_routes: list[tuple[str, str]],
+    default_sink: str | None = None,
+    tag_col: str = "sink",
+) -> DataFrame:
+    """Routing-connector parity: first-match-wins tagging from OTTL
+    condition statements (the modern routing config uses OTTL, not SQL).
+    ``ottl_routes`` is an ordered [(sink, ottl_condition), ...]; unmatched
+    rows get ``default_sink`` (the connector's default_pipelines) or NULL.
+    Compiles to the same single CASE chain as ``route_tag`` — one codegen
+    pass, no per-sink rescan."""
+    from ..functions.ottl import compile_condition
+
+    expr: Column = F.lit(default_sink).cast("string")
+    for sink, cond_text in reversed(ottl_routes):
+        expr = F.when(
+            F.coalesce(compile_condition(df, cond_text), F.lit(False)),
+            F.lit(sink),
+        ).otherwise(expr)
+    return df.withColumn(tag_col, expr)

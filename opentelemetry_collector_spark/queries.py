@@ -2697,6 +2697,61 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(_t(spark, sf_dir, "documents"), "doc_id", seed=42)
 
 
+@_q(
+    "filter_ottl",
+    """
+    SELECT event_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    WHERE NOT ((event_type = 'view' AND value < 5.0)
+            OR (event_type = 'click' AND value > 95.0))
+    """,
+)
+def filter_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-ext contrib filter processor with OTTL conditions: drop a record
+    when ANY configured condition matches (NULL evaluations keep the row —
+    upstream error_mode: ignore).  Both conditions fuse into one boolean
+    Column that reaches the parquet scan."""
+    from .operators.filters import filter_ottl_drop
+
+    ev = _t(spark, sf_dir, "events")
+    out = filter_ottl_drop(
+        ev,
+        ['event_type == "view" and value < 5.0',
+         'event_type == "click" and value > 95.0'],
+    )
+    return out.select("event_id", "event_type", F.round("value", 4).alias("value"))
+
+
+@_q(
+    "route_ottl",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'sink_err'
+                WHEN value >= 90.0 THEN 'sink_high'
+                WHEN regexp_matches(event_type, 'click|view') THEN 'sink_ui'
+                ELSE 'sink_default' END AS sink,
+           CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 4) AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def route_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext routing connector with OTTL conditions (the modern routing
+    config): ordered first-match-wins rules compiled to one CASE chain,
+    unmatched rows to the default pipeline; per-sink obsreport counts."""
+    from .operators.router import route_tag_ottl
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = route_tag_ottl(
+        ev,
+        [("sink_err", 'event_type == "error"'),
+         ("sink_high", "value >= 90.0"),
+         ("sink_ui", 'IsMatch(event_type, "click|view")')],
+        default_sink="sink_default",
+    )
+    return tagged.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum")
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -2758,6 +2813,8 @@ _DRIVER_PRIORITY = [
     "log_severity_map",
     "log_dedup_interval",
     "sample_epoch_shuffle",
+    "filter_ottl",
+    "route_ottl",
 ]
 
 

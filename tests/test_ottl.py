@@ -174,3 +174,45 @@ def test_indexed_path_on_missing_column_reads_nil(spark):
         apply_ottl(df, ['set(flag, "hit") where attributes["env"] == nil'])
     )
     assert out[1].flag == "hit"
+
+
+def test_filter_ottl_drop_null_keeps_row(spark):
+    """filterprocessor error_mode:ignore — a NULL condition keeps the row."""
+    from opentelemetry_collector_spark.operators.filters import filter_ottl_drop
+
+    df = spark.createDataFrame(
+        [(1, "view", 2.0), (2, "view", 9.0), (3, None, 1.0)],
+        "id long, et string, v double",
+    )
+    out = filter_ottl_drop(df, ['et == "view" and v < 5.0'])
+    assert sorted(r.id for r in out.collect()) == [2, 3]
+    # empty condition list is identity
+    assert filter_ottl_drop(df, []).count() == 3
+
+
+def test_route_tag_ottl_first_match_and_default(spark):
+    from opentelemetry_collector_spark.operators.router import route_tag_ottl
+
+    df = spark.createDataFrame(
+        [(1, "error", 99.0), (2, "click", 99.0), (3, "click", 1.0), (4, "other", 1.0)],
+        "id long, et string, v double",
+    )
+    out = {r.id: r.sink for r in route_tag_ottl(
+        df,
+        [("s_err", 'et == "error"'), ("s_high", "v >= 90.0"),
+         ("s_ui", 'IsMatch(et, "click|view")')],
+        default_sink="s_def",
+    ).collect()}
+    # rule order wins: error beats high even though both match id=1
+    assert out == {1: "s_err", 2: "s_high", 3: "s_ui", 4: "s_def"}
+
+
+def test_condition_validation_rejects_bad_configs():
+    from opentelemetry_collector_spark.functions.ottl import validate_condition
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        validate_condition('Frobnicate(x) == 1')
+    with _pt.raises(ValueError):
+        validate_condition('x == 1 extra')
+    validate_condition('a == nil or (b > 2 and IsMatch(c, "x.*"))')
