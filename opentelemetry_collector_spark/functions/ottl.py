@@ -21,7 +21,8 @@ processor ships that map 1:1 onto Spark builtins):
   a ``map<string,string>`` column (any map column name works).
 - editors: set, delete_key, keep_keys, replace_pattern, truncate_all.
 - converters (inside expressions): Int, Double, String, SHA256, Lower,
-  Upper, IsMatch (predicate).
+  Upper, Len, Trim, Substring (0-based, upstream-style), Split (literal
+  delimiter), Concat (list + delimiter), IsMatch (predicate).
 - ``where <condition>`` gates any editor per row: ==, !=, <, <=, >, >=,
   and/or/not, parentheses, nil.
 
@@ -225,8 +226,16 @@ _CONVERTERS = {
     "SHA256": lambda a: F.sha2(a[0].cast("string"), 256),
     "Lower": lambda a: F.lower(a[0]),
     "Upper": lambda a: F.upper(a[0]),
-    "IsMatch": None,  # handled in _compile (needs the literal pattern)
+    "Len": lambda a: F.length(a[0].cast("string")).cast("long"),
+    "Trim": lambda a: F.trim(a[0].cast("string")),
+    "IsMatch": None,    # handled in _compile (needs the literal pattern)
+    "Substring": None,  # handled in _compile (0-based → 1-based shift)
+    "Split": None,      # handled in _compile (literal, non-regex delimiter)
+    "Concat": None,     # handled in _compile (list arg + literal delimiter)
 }
+
+# converter name -> arity (validated at config load; 1 unless listed)
+_CONVERTER_ARITY = {"IsMatch": 2, "Substring": 3, "Split": 2, "Concat": 2}
 
 
 def _compile(node, df: DataFrame) -> Column:
@@ -244,6 +253,29 @@ def _compile(node, df: DataFrame) -> Column:
             if not isinstance(pat, Lit):
                 raise ValueError("OTTL: IsMatch pattern must be a literal")
             return _compile(node.args[0], df).cast("string").rlike(str(pat.value))
+        if node.fn == "Substring":
+            # upstream Substring(target, start, length) is 0-based; Column
+            # .substr is 1-based, hence the +1 shift
+            target = _compile(node.args[0], df).cast("string")
+            start = _compile(node.args[1], df).cast("int") + F.lit(1)
+            return target.substr(start, _compile(node.args[2], df).cast("int"))
+        if node.fn == "Split":
+            delim = node.args[1]
+            if not isinstance(delim, Lit):
+                raise ValueError("OTTL: Split delimiter must be a literal")
+            # upstream splits on the LITERAL delimiter (Go strings.Split);
+            # Spark split takes a regex, so quote it
+            return F.split(
+                _compile(node.args[0], df).cast("string"),
+                "\\Q" + str(delim.value) + "\\E",
+            )
+        if node.fn == "Concat":
+            vals, delim = node.args[0], node.args[1]
+            if not (isinstance(vals, ListLit) and isinstance(delim, Lit)):
+                raise ValueError('OTTL: Concat([vals, ...], "delim")')
+            return F.concat_ws(
+                str(delim.value), *[_compile(v, df).cast("string") for v in vals.items]
+            )
         conv = _CONVERTERS.get(node.fn)
         if conv is None:
             raise ValueError(f"OTTL: unknown converter {node.fn!r}")
@@ -343,16 +375,24 @@ _EDITOR_SIG = {
 
 def _validate_expr(node) -> None:
     if isinstance(node, Call):
-        if node.fn == "IsMatch":
-            if len(node.args) != 2 or not isinstance(node.args[1], Lit):
-                raise ValueError('OTTL: IsMatch(path, "pattern") takes 2 args')
-            _validate_expr(node.args[0])
-            return
         if node.fn not in _CONVERTERS:
             raise ValueError(f"OTTL: unknown converter {node.fn!r}")
-        if len(node.args) != 1:
-            raise ValueError(f"OTTL: {node.fn}(value) takes exactly 1 arg")
-        _validate_expr(node.args[0])
+        arity = _CONVERTER_ARITY.get(node.fn, 1)
+        if len(node.args) != arity:
+            raise ValueError(f"OTTL: {node.fn} takes {arity} args, got {len(node.args)}")
+        if node.fn == "IsMatch" and not isinstance(node.args[1], Lit):
+            raise ValueError("OTTL: IsMatch pattern must be a literal")
+        if node.fn == "Split" and not isinstance(node.args[1], Lit):
+            raise ValueError("OTTL: Split delimiter must be a literal")
+        if node.fn == "Concat" and not (
+            isinstance(node.args[0], ListLit) and isinstance(node.args[1], Lit)
+        ):
+            raise ValueError('OTTL: Concat([vals, ...], "delim")')
+        for a in node.args:
+            _validate_expr(a)
+    elif isinstance(node, ListLit):
+        for item in node.items:
+            _validate_expr(item)
     elif isinstance(node, BinOp):
         _validate_expr(node.left)
         _validate_expr(node.right)

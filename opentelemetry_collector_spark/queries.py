@@ -2531,7 +2531,12 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(event_type) AS sev,
            CAST(floor(value) AS BIGINT) AS v_int,
            regexp_replace(props, '[0-9]+', '#', 'g') AS props,
-           sha256(event_type) AS h
+           sha256(event_type) AS h,
+           CAST(length(props) AS BIGINT) AS plen,
+           substr(event_type, 1, 3) AS head,
+           event_type || '-' ||
+             CASE WHEN event_type = 'error' OR value > 400.0
+                  THEN 'hot' ELSE 'std' END AS combo
     FROM events
     """,
 )
@@ -2554,11 +2559,18 @@ def transform_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
             'set(tier, "std") where tier == nil',
             "set(sev, Upper(event_type))",
             "set(v_int, Int(value))",
+            # the three converter sets read props/event_type BEFORE the
+            # scrub below (sequential semantics; the oracle mirrors that)
+            "set(plen, Len(props))",
+            "set(head, Substring(event_type, 0, 3))",
+            'set(combo, Concat([event_type, tier], "-"))',
             'replace_pattern(props, "[0-9]+", "#")',
             "set(h, SHA256(event_type))",
         ],
     )
-    return out.select("event_id", "tier", "sev", "v_int", "props", "h")
+    return out.select(
+        "event_id", "tier", "sev", "v_int", "props", "h", "plen", "head", "combo"
+    )
 
 
 @_q(

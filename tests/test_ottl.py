@@ -216,3 +216,42 @@ def test_condition_validation_rejects_bad_configs():
     with _pt.raises(ValueError):
         validate_condition('x == 1 extra')
     validate_condition('a == nil or (b > 2 and IsMatch(c, "x.*"))')
+
+
+def test_new_converters(spark):
+    df = spark.createDataFrame([(1, "  hello world  ", "a,b,c")], "id long, s string, csv string")
+    out = apply_ottl(
+        df,
+        [
+            "set(n, Len(s))",
+            "set(t, Trim(s))",
+            "set(sub, Substring(csv, 2, 3))",     # 0-based like upstream
+            'set(parts, Split(csv, ","))',
+            'set(joined, Concat([s, csv], "|"))',
+        ],
+    ).collect()[0]
+    assert out.n == 15
+    assert out.t == "hello world"
+    assert out.sub == "b,c"
+    assert out.parts == ["a", "b", "c"]
+    assert out.joined == "  hello world  |a,b,c"
+
+
+def test_split_delimiter_is_literal_not_regex(spark):
+    df = spark.createDataFrame([(1, "a.b.c")], "id long, s string")
+    out = apply_ottl(df, ['set(parts, Split(s, "."))']).collect()[0]
+    assert out.parts == ["a", "b", "c"]   # '.' must not act as regex any-char
+
+
+def test_converter_arity_validation():
+    from opentelemetry_collector_spark.functions.ottl import validate_statement
+    for bad in [
+        "set(x, Substring(y, 1))",        # arity 3
+        'set(x, Split(y))',               # arity 2
+        'set(x, Split(y, z))',            # delimiter must be literal
+        'set(x, Concat(y, "-"))',         # first arg must be a list
+        "set(x, Len(y, z))",              # arity 1
+    ]:
+        with pytest.raises(ValueError):
+            validate_statement(bad)
+    validate_statement('set(x, Concat([a, "lit", Upper(b)], "-"))')
