@@ -29,11 +29,17 @@ from ..sources.tableio import TableIO
 
 @dataclass
 class Route:
-    """One routing rule: SQL predicate string → sink name, ordered by priority."""
+    """One routing rule: predicate string → sink name, ordered by priority.
+
+    ``predicate`` is a SQL boolean expression by default; with ``ottl=True``
+    it is an OTTL condition (routing-connector table syntax) compiled through
+    :func:`..functions.ottl.compile_condition` instead — both collapse into
+    the same single CASE chain, so mixing dialects costs nothing."""
 
     sink: str
-    predicate: str  # SQL boolean expression over the input columns
+    predicate: str  # SQL boolean expression (or OTTL condition if ottl=True)
     priority: int = 0
+    ottl: bool = False
 
 
 def route_tag(df: DataFrame, routes: list[Route], tag_col: str = "sink") -> DataFrame:
@@ -45,7 +51,14 @@ def route_tag(df: DataFrame, routes: list[Route], tag_col: str = "sink") -> Data
     ordered = sorted(routes, key=lambda r: r.priority)
     expr: Column = F.lit(None).cast("string")
     for r in reversed(ordered):
-        expr = F.when(F.expr(r.predicate), F.lit(r.sink)).otherwise(expr)
+        if r.ottl:
+            from ..functions.ottl import compile_condition
+
+            # OTTL semantics: a NULL-valued condition does not match
+            pred = F.coalesce(compile_condition(df, r.predicate), F.lit(False))
+        else:
+            pred = F.expr(r.predicate)
+        expr = F.when(pred, F.lit(r.sink)).otherwise(expr)
     return df.withColumn(tag_col, expr)
 
 

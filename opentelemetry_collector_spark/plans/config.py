@@ -50,15 +50,43 @@ def spec_from_yaml(text: str) -> PipelineSpec:
     routes = []
     seen = set()
     for r in routes_cfg:
-        missing = {"sink", "predicate"} - set(r)
-        if missing:
-            raise ConfigError(f"route missing keys: {sorted(missing)}")
+        if "sink" not in r:
+            raise ConfigError("route missing keys: ['sink']")
+        if ("predicate" in r) == ("condition" in r):
+            raise ConfigError(
+                f"route {r['sink']!r} needs exactly one of 'predicate' (SQL) "
+                "or 'condition' (OTTL)"
+            )
         if r["sink"] in seen:
             raise ConfigError(f"duplicate sink name {r['sink']!r}")
         seen.add(r["sink"])
-        routes.append(Route(r["sink"], r["predicate"], int(r.get("priority", 0))))
-    if not any(r.predicate.strip().upper() == "TRUE" for r in routes):
-        raise ConfigError("no catch-all route (predicate TRUE): rows could be dropped silently")
+        if "condition" in r:
+            # routing-connector table syntax: OTTL condition, parse-validated
+            # at config load (same fail-fast contract as transform below)
+            from ..functions.ottl import validate_condition
+
+            try:
+                validate_condition(r["condition"])
+            except ValueError as e:
+                raise ConfigError(str(e)) from e
+            routes.append(Route(r["sink"], r["condition"], int(r.get("priority", 0)), ottl=True))
+        else:
+            routes.append(Route(r["sink"], r["predicate"], int(r.get("priority", 0))))
+    default_sink = p.get("default_sink")
+    if default_sink is not None:
+        # routing-connector default_pipelines analog: lowest-priority catch-all
+        if default_sink in seen:
+            raise ConfigError(f"default_sink {default_sink!r} duplicates a route sink")
+        routes.append(Route(default_sink, "TRUE", max(r.priority for r in routes) + 1))
+    if not any(
+        not r.ottl and r.predicate.strip().upper() == "TRUE"
+        or r.ottl and r.predicate.strip().lower() == "true"
+        for r in routes
+    ):
+        raise ConfigError(
+            "no catch-all route (predicate TRUE / condition true / default_sink): "
+            "rows could be dropped silently"
+        )
 
     kwargs: dict = {"routes": routes}
     if "grok" in p:
@@ -127,6 +155,19 @@ def spec_from_yaml(text: str) -> PipelineSpec:
             except ValueError as e:
                 raise ConfigError(str(e)) from e
         kwargs["transform"] = stmts
+    if "filters" in p:
+        # filterprocessor config analog: OTTL drop conditions (drop-if-any-true)
+        from ..functions.ottl import validate_condition
+
+        conds = list(p["filters"] or [])
+        for c in conds:
+            if not isinstance(c, str):
+                raise ConfigError("filters entries must be OTTL condition strings")
+            try:
+                validate_condition(c)
+            except ValueError as e:
+                raise ConfigError(str(e)) from e
+        kwargs["drop_conditions"] = conds
     return PipelineSpec(**kwargs)
 
 
@@ -141,7 +182,11 @@ def spec_to_yaml(spec: PipelineSpec) -> str:
             "salt_buckets": spec.salt_buckets,
             "grok": {"pattern": spec.grok.pattern, "types": dict(spec.grok.types)},
             "routes": [
-                {"sink": r.sink, "predicate": r.predicate, "priority": r.priority}
+                {
+                    "sink": r.sink,
+                    ("condition" if r.ottl else "predicate"): r.predicate,
+                    "priority": r.priority,
+                }
                 for r in spec.routes
             ],
             "lookup_defaults": dict(spec.lookup_defaults),
@@ -183,4 +228,6 @@ def spec_to_yaml(spec: PipelineSpec) -> str:
         ]
     if spec.transform:
         doc["pipeline"]["transform"] = list(spec.transform)
+    if spec.drop_conditions:
+        doc["pipeline"]["filters"] = list(spec.drop_conditions)
     return yaml.safe_dump(doc, sort_keys=False)

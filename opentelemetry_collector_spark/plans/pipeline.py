@@ -68,6 +68,10 @@ class PipelineSpec:
     # OTTL transform statements (contrib transformprocessor analog), applied
     # after attributes — parsed once, compiled to the same projection
     transform: list[str] = field(default_factory=list)
+    # OTTL drop conditions (contrib filterprocessor analog), applied after
+    # transform: a record is dropped when ANY condition is true; NULL keeps
+    # (error_mode: ignore).  Compiles to one filter — pushdown-friendly.
+    drop_conditions: list[str] = field(default_factory=list)
     # ONE partitionBy(sink) write instead of cache + N filtered writes —
     # the only mode that holds at 10^12 rows (no full-dataset cache copy).
     single_pass_fanout: bool = True
@@ -122,6 +126,10 @@ def run_pipeline(
         from ..functions.ottl import apply_ottl
 
         parsed = apply_ottl(parsed, spec.transform)
+    if spec.drop_conditions:
+        from ..operators.filters import filter_ottl_drop
+
+        parsed = filter_ottl_drop(parsed, spec.drop_conditions)
 
     # --- enrich (resource processor analog; broadcast hash join) ----------
     enriched = broadcast_enrich(parsed, lookup, on=spec.source_col, defaults=spec.lookup_defaults)

@@ -258,3 +258,75 @@ def test_yaml_transform_bad_statement_fails_at_load():
     )
     with pytest.raises(ConfigError):
         spec_from_yaml(bad)
+
+
+YAML_OTTL = """
+pipeline:
+  raw_col: raw
+  default_sink: sink_default
+  routes:
+    - {sink: sink_hot,    condition: 'source == "src0"',  priority: 0}
+    - {sink: sink_errors, condition: 'level == "ERROR"',  priority: 1}
+  filters:
+    - 'level == "DEBUG"'
+"""
+
+
+def test_yaml_ottl_routes_and_filters_roundtrip():
+    spec = spec_from_yaml(YAML_OTTL)
+    assert [(r.sink, r.ottl) for r in spec.routes] == [
+        ("sink_hot", True), ("sink_errors", True), ("sink_default", False)
+    ]
+    assert spec.routes[-1].predicate == "TRUE"      # default_sink catch-all
+    assert spec.drop_conditions == ['level == "DEBUG"']
+    spec2 = spec_from_yaml(spec_to_yaml(spec))      # condition key survives
+    assert spec2.routes == spec.routes
+    assert spec2.drop_conditions == spec.drop_conditions
+
+
+def test_yaml_ottl_routes_and_filters_run(spark):
+    """filterprocessor + routing-connector config story end-to-end: OTTL
+    drop conditions and OTTL condition routes declared in YAML, executed
+    in the flagship pipeline with first-match-wins semantics."""
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.synthetic import gen_lookup, gen_telemetry
+
+    spec = spec_from_yaml(YAML_OTTL)
+    tel = gen_telemetry(spark, 400, partitions=2)
+    out = run_pipeline(spark, tel, gen_lookup(spark), spec=spec)
+    tagged = out["tagged"].cache()
+    assert tagged.filter("level = 'DEBUG'").count() == 0          # filter ran
+    got = {r.sink for r in tagged.select("sink").distinct().collect()}
+    assert got == {"sink_hot", "sink_errors", "sink_default"}
+    # first-match-wins: src0 ERROR rows land in sink_hot, not sink_errors
+    assert tagged.filter("source='src0' AND sink<>'sink_hot'").count() == 0
+    assert tagged.filter("sink='sink_errors' AND level<>'ERROR'").count() == 0
+    # conservation: every non-dropped row routed somewhere
+    assert tagged.count() == tel.filter("raw NOT LIKE '% DEBUG %'").count()
+    tagged.unpersist()
+
+
+@pytest.mark.parametrize(
+    "mutation,msg",
+    [
+        # both dialects on one route
+        ("{sink: sink_hot, condition: 'source == \"src0\"', predicate: 'TRUE'}",
+         "exactly one"),
+        # unparseable OTTL condition fails at load, not at run
+        ("{sink: sink_hot, condition: 'source == '}", "condition|parse|expected"),
+        # default_sink colliding with a declared route
+        ("{sink: sink_default, condition: 'source == \"src0\"'}", "duplicates"),
+    ],
+)
+def test_yaml_ottl_route_validation(mutation, msg):
+    bad = YAML_OTTL.replace(
+        "{sink: sink_hot,    condition: 'source == \"src0\"',  priority: 0}", mutation
+    )
+    with pytest.raises(ConfigError, match=msg):
+        spec_from_yaml(bad)
+
+
+def test_yaml_bad_filter_condition_fails_at_load():
+    bad = YAML_OTTL.replace("- 'level == \"DEBUG\"'", "- 'level =='")
+    with pytest.raises(ConfigError):
+        spec_from_yaml(bad)
