@@ -65,9 +65,25 @@ class TailPolicy:
     kind='always'            keep every trace
     kind='numeric_attribute' keep traces where any row has col in [lo, hi]
     kind='string_attribute'  keep traces where any row has col in values
+    kind='latency'           keep traces whose span = max(ts)−min(ts) ≥ lo ms
+                             (the contrib latency policy; needs ts_col)
+    kind='span_count'        keep traces with at least ``lo`` rows
+    kind='probabilistic'     keep traces whose portable trace-id bucket (mod
+                             100) < ``lo`` — hash-consistent sampling, same
+                             trace always decides the same way across runs
+    kind='ottl'              keep traces where ANY row satisfies the OTTL
+                             condition in ``expr`` (contrib ottl_condition
+                             policy; NULL rows don't match)
+    kind='and'               keep traces where EVERY sub-policy in ``sub``
+                             votes keep (the contrib And policy; composes
+                             any of the aggregate kinds above)
     kind='rate_limiting'     keep the first ``limit`` traces per second (by
                              trace min-ts ordering — deterministic batch
                              reading of the reference's ticker semantics)
+
+    Every kind except rate_limiting is a per-trace boolean AGGREGATE, so an
+    arbitrary policy tree still compiles into the single groupBy(trace) pass
+    — one shuffle regardless of policy count.
     """
 
     kind: str
@@ -76,9 +92,16 @@ class TailPolicy:
     hi: float | None = None
     values: list[str] | None = None
     limit: int | None = None
+    expr: str | None = None
+    sub: list["TailPolicy"] | None = None
 
 
-def _policy_keep(p: TailPolicy) -> Column:
+def _policy_keep(
+    p: TailPolicy,
+    df: DataFrame | None = None,
+    trace_col: str | None = None,
+    ts_col: str | None = None,
+) -> Column:
     """Per-trace boolean aggregate for one policy (evaluated after groupBy)."""
     if p.kind == "always":
         return F.lit(True)
@@ -88,6 +111,34 @@ def _policy_keep(p: TailPolicy) -> Column:
         ) == 1
     if p.kind == "string_attribute":
         return F.max(F.when(F.col(p.col).isin(p.values), F.lit(1)).otherwise(F.lit(0))) == 1
+    if p.kind == "latency":
+        if ts_col is None:
+            raise ValueError("latency policy requires ts_col")
+        # NTZ-safe: unix_micros over an explicit ltz cast (session TZ is UTC)
+        us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+        return (F.max(us) - F.min(us)) / F.lit(1000.0) >= F.lit(p.lo)
+    if p.kind == "span_count":
+        return F.count(F.lit(1)) >= F.lit(int(p.lo))
+    if p.kind == "probabilistic":
+        if trace_col is None:
+            raise ValueError("probabilistic policy requires trace_col")
+        # expression of the grouping key — constant per group, no aggregate
+        return portable_bucket(F.col(trace_col), 100) < F.lit(int(p.lo))
+    if p.kind == "ottl":
+        from ..functions.ottl import compile_condition
+
+        if df is None:
+            raise ValueError("ottl policy requires the input frame")
+        cond = F.coalesce(compile_condition(df, p.expr), F.lit(False))
+        return F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))) == 1
+    if p.kind == "and":
+        out: Column | None = None
+        for s in p.sub or []:
+            e = _policy_keep(s, df, trace_col, ts_col)
+            out = e if out is None else (out & e)
+        if out is None:
+            raise ValueError("'and' policy requires sub-policies")
+        return out
     raise ValueError(f"unknown tail policy {p.kind!r}")
 
 
@@ -103,7 +154,7 @@ def tail_sample(
     rate = next((p for p in policies if p.kind == "rate_limiting"), None)
     keep_expr = None
     for p in agg_policies:
-        e = _policy_keep(p)
+        e = _policy_keep(p, df, trace_col, ts_col)
         keep_expr = e if keep_expr is None else (keep_expr | e)
     if keep_expr is None:
         keep_expr = F.lit(True)

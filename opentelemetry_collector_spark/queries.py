@@ -601,6 +601,52 @@ def tail_sample_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
 
 
+@_q(
+    "tail_sample_policies",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, ROUND(e.value, 4) AS value
+    FROM events e
+    WHERE e.user_id IN (
+      SELECT user_id FROM events
+      GROUP BY user_id
+      HAVING (max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+              AND max(CASE WHEN value BETWEEN 42.0 AND 42.2 THEN 1 ELSE 0 END) = 1)
+          OR (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000.0 >= 2585000000
+          OR count(*) >= 82
+          OR ((user_id % 100003) * 2654435761) % 100 < 10
+    )
+    """,
+)
+def tail_sample_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 tail sampler, full contrib policy surface: And-composite (OTTL
+    condition ∧ numeric range), latency (trace span ≥ threshold),
+    span_count, and hash-consistent probabilistic — all compiled into ONE
+    groupBy(trace) pass, so four policies still cost one shuffle.
+    Reference: tailsamplingprocessor/internal/sampling (and.go, latency.go,
+    span_count.go, probabilistic.go, ottl.go)."""
+    from .operators.sampling import TailPolicy, tail_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = tail_sample(
+        ev,
+        "user_id",
+        [
+            TailPolicy(
+                "and",
+                sub=[
+                    TailPolicy("ottl", expr='event_type == "error"'),
+                    TailPolicy("numeric_attribute", col="value", lo=42.0, hi=42.2),
+                ],
+            ),
+            TailPolicy("latency", lo=2.585e9),
+            TailPolicy("span_count", lo=82),
+            TailPolicy("probabilistic", lo=10),
+        ],
+        ts_col="ts",
+    )
+    return out.select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+
+
 # --------------------------------------------------------------------------
 # §2.3 / §2.10 routing, fan-out, fan-in, set ops
 # --------------------------------------------------------------------------
@@ -2827,6 +2873,7 @@ _DRIVER_PRIORITY = [
     "sample_epoch_shuffle",
     "filter_ottl",
     "route_ottl",
+    "tail_sample_policies",
 ]
 
 

@@ -84,6 +84,81 @@ def test_tail_sample_policies(spark):
     assert {r.trace_id for r in dropped_traces(df, out, "trace_id").collect()} == {"t3"}
 
 
+def test_tail_sample_contrib_policy_kinds(spark):
+    """latency / span_count / probabilistic / ottl / and — each decides at
+    trace granularity, and all compile into the one groupBy pass."""
+    rows = [
+        # t1: 2 rows, 5000 ms span, has error+hi value  → and-policy keep
+        ("t1", "2024-01-01 00:00:00.000", "error", 95.0),
+        ("t1", "2024-01-01 00:00:05.000", "ok", 1.0),
+        # t2: 3 rows → span_count keep (no error, short span)
+        ("t2", "2024-01-01 00:00:00.000", "ok", 1.0),
+        ("t2", "2024-01-01 00:00:00.100", "ok", 2.0),
+        ("t2", "2024-01-01 00:00:00.200", "ok", 3.0),
+        # t3: long span only → latency keep
+        ("t3", "2024-01-01 00:00:00.000", "ok", 1.0),
+        ("t3", "2024-01-01 00:00:09.000", "ok", 2.0),
+        # t4: error but low value → and-policy must NOT keep
+        ("t4", "2024-01-01 00:00:00.000", "error", 1.0),
+        ("t4", "2024-01-01 00:00:01.000", "ok", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id string, ts string, status string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    and_p = TailPolicy(
+        "and",
+        sub=[
+            TailPolicy("ottl", expr='status == "error"'),
+            TailPolicy("numeric_attribute", col="value", lo=90.0, hi=1e9),
+        ],
+    )
+    def kept(policies):
+        out = tail_sample(df, "trace_id", policies, ts_col="ts")
+        return {r.trace_id for r in out.select("trace_id").distinct().collect()}
+
+    assert kept([and_p]) == {"t1"}                                  # ∧ not ∨
+    assert kept([TailPolicy("latency", lo=6000.0)]) == {"t3"}
+    assert kept([TailPolicy("span_count", lo=3)]) == {"t2"}
+    assert kept([and_p, TailPolicy("latency", lo=6000.0)]) == {"t1", "t3"}
+    # probabilistic: whole-trace consistent and matches the portable bucket
+    pk = kept([TailPolicy("probabilistic", lo=50)])
+    import zlib
+
+    def bucket(tid):  # crc32 fallback path for string ids
+        return ((zlib.crc32(tid.encode()) % 100003) * 2654435761) % 100
+    assert pk == {t for t in ["t1", "t2", "t3", "t4"] if bucket(t) < 50}
+
+
+def test_tail_sample_single_shuffle_for_policy_tree(spark):
+    """Four policies (incl. nested and) must still plan exactly one
+    Exchange for the aggregate + the semi-join's own exchange — policy
+    count never multiplies shuffles."""
+    df = spark.createDataFrame(
+        [("t1", "2024-01-01 00:00:00", "ok", 1.0)],
+        "trace_id string, ts string, status string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = tail_sample(
+        df,
+        "trace_id",
+        [
+            TailPolicy(
+                "and",
+                sub=[
+                    TailPolicy("ottl", expr='status == "error"'),
+                    TailPolicy("numeric_attribute", col="value", lo=90.0, hi=1e9),
+                ],
+            ),
+            TailPolicy("latency", lo=6000.0),
+            TailPolicy("span_count", lo=3),
+            TailPolicy("probabilistic", lo=50),
+        ],
+        ts_col="ts",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_agg_exchanges = plan.count("Exchange hashpartitioning(trace_id")
+    assert n_agg_exchanges <= 2  # one for the agg, at most one for the join
+
+
 def test_tail_sample_rate_limit(spark):
     rows = [(f"t{i}", f"2024-01-01 00:00:00.{i:03d}") for i in range(10)]
     df = spark.createDataFrame(rows, "trace_id string, ts string").withColumn(
