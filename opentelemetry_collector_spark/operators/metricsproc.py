@@ -114,6 +114,47 @@ def metrics_transform(
     )
 
 
+def generate_metric(
+    df: DataFrame,
+    name_col: str,
+    value_col: str,
+    dims: list[str],
+    new_name: str,
+    operand1: str,
+    operand2: str,
+    operation: str = "divide",
+) -> DataFrame:
+    """metricsgeneration: derive a new series from two existing ones on
+    shared dims (contrib metricsgenerationprocessor `calculate` rule — e.g.
+    memory.utilization = usage / limit).
+
+    Both operands come out of ONE filtered scan + ONE groupBy(dims) pass
+    (conditional partial sums, no self-join, no pivot shuffle); `divide`
+    yields NULL on a zero/absent denominator (the processor skips the data
+    point rather than emitting ±Inf).  Returns only the generated series —
+    unionByName it onto the input to mirror the processor's append."""
+    ops = {"divide", "multiply", "add", "subtract"}
+    if operation not in ops:
+        raise ValueError(f"operation must be one of {sorted(ops)}")
+    two = df.filter(F.col(name_col).isin([operand1, operand2]))
+    agg = two.groupBy(*[F.col(c) for c in dims]).agg(
+        F.sum(F.when(F.col(name_col) == operand1, F.col(value_col))).alias("_a"),
+        F.sum(F.when(F.col(name_col) == operand2, F.col(value_col))).alias("_b"),
+    )
+    a, b = F.col("_a"), F.col("_b")
+    val = {
+        "divide": F.when(b != 0, a / b),
+        "multiply": a * b,
+        "add": a + b,
+        "subtract": a - b,
+    }[operation]
+    return agg.select(
+        *[F.col(c) for c in dims],
+        F.lit(new_name).alias(name_col),
+        F.round(val, 4).alias(value_col),
+    )
+
+
 def increase_with_resets(
     df: DataFrame,
     keys: list[str],

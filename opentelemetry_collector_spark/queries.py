@@ -2337,6 +2337,35 @@ def metrics_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "metrics_generation",
+    """
+    SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+           'conversion_rate' AS event_type,
+           ROUND(CASE WHEN sum(CASE WHEN event_type = 'view' THEN value END) <> 0
+                      THEN sum(CASE WHEN event_type = 'purchase' THEN value END)
+                         / sum(CASE WHEN event_type = 'view' THEN value END)
+                 END, 4) AS value
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+    """,
+)
+def metrics_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext metricsgeneration (contrib metricsgenerationprocessor
+    `calculate` rule): derive conversion_rate = purchase value / view value
+    per hour — one filtered scan, one groupBy with conditional partial sums,
+    no self-join.  NULL (skip) on zero denominator, matching the processor's
+    skip-the-datapoint behavior."""
+    from .operators.metricsproc import generate_metric
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hr"), "event_type", "value"
+    )
+    return generate_metric(
+        ev, "event_type", "value", ["hr"], "conversion_rate", "purchase", "view"
+    )
+
+
+@_q(
     "rate_counter_reset",
     """
     WITH c AS (
@@ -2874,6 +2903,7 @@ _DRIVER_PRIORITY = [
     "filter_ottl",
     "route_ottl",
     "tail_sample_policies",
+    "metrics_generation",
 ]
 
 

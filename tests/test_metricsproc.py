@@ -163,3 +163,47 @@ def test_exponential_histogram_bucket_edges(spark):
     assert out.zero_count == 1
     assert out.idx_min == -1 and out.idx_max == 1
     assert out.n_buckets == 3 and out.n_values == 3
+
+
+def test_generate_metric_ratio_and_edge_cases(spark):
+    from opentelemetry_collector_spark.operators.metricsproc import generate_metric
+
+    rows = [
+        ("usage", "h1", 50.0), ("limit", "h1", 100.0),   # ratio 0.5
+        ("usage", "h2", 10.0), ("limit", "h2", 0.0),     # zero denom -> NULL
+        ("usage", "h3", 7.0),                            # missing denom -> NULL
+        ("noise", "h1", 999.0),                          # unrelated series ignored
+    ]
+    df = spark.createDataFrame(rows, "name string, host string, value double")
+    out = {
+        r.host: r.value
+        for r in generate_metric(
+            df, "name", "value", ["host"], "utilization", "usage", "limit"
+        ).collect()
+    }
+    assert out == {"h1": 0.5, "h2": None, "h3": None}
+
+    add = generate_metric(
+        df, "name", "value", ["host"], "total", "usage", "limit", operation="add"
+    )
+    assert {r.host: r.value for r in add.collect()}["h1"] == 150.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="operation"):
+        generate_metric(df, "name", "value", ["host"], "x", "usage", "limit",
+                        operation="modulo")
+
+
+def test_generate_metric_single_aggregate_no_join(spark):
+    """The two operands must come from ONE scan + ONE aggregate — no
+    self-join (the naive pivot-then-join shape doubles the scan at scale)."""
+    from opentelemetry_collector_spark.operators.metricsproc import generate_metric
+
+    df = spark.createDataFrame(
+        [("usage", "h1", 1.0)], "name string, host string, value double"
+    )
+    plan = generate_metric(
+        df, "name", "value", ["host"], "u", "usage", "limit"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
