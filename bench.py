@@ -65,6 +65,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "chunk_token_stream",
     # r3 metrics-processor + curation suite (all ≥0.3 s at sf0.1)
+    "tail_sample_policies",
+    "metrics_generation",
     "attr_redact_pii",
     "span_metrics_red",
     "metrics_transform",

@@ -129,3 +129,41 @@ def route_tag_ottl(
             F.lit(sink),
         ).otherwise(expr)
     return df.withColumn(tag_col, expr)
+
+
+def group_by_attrs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str = "resource_id",
+    compact: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """groupbyattrs parity (contrib groupbyattrsprocessor): reassociate
+    records under a synthetic resource keyed by the given attribute columns
+    — the processor's "promote these attrs to resource and merge batches
+    that share them".
+
+    Returns (resources, records): ``resources`` is one row per distinct key
+    tuple with a deterministic ``id_col`` (md5 over NULL-tagged key values —
+    stable across runs/engines, unlike a dense rank); ``records`` is the
+    input with ``id_col`` attached as a pure projection (NO shuffle, no
+    join — the hash is computed from the row itself).  Only the distinct on
+    ``resources`` exchanges data, and it carries #resources rows.
+
+    ``compact=True`` additionally repartitions records by the resource id —
+    the batch analog of the processor's compaction, co-locating each
+    resource's records for downstream per-resource work (one extra shuffle,
+    opt-in)."""
+    # NULL-tagged concat: distinguish NULL from the string "NULL" and avoid
+    # separator-collision between adjacent keys (control chars \x1e/\x1f/\x1d
+    # — never NUL, which some engines truncate strings on)
+    parts = [
+        F.when(F.col(k).isNull(), F.lit("\x1enil"))
+        .otherwise(F.concat(F.lit("\x1f"), F.col(k).cast("string")))
+        for k in keys
+    ]
+    rid = F.md5(F.concat_ws("\x1d", *parts))
+    records = df.withColumn(id_col, rid)
+    resources = records.select(id_col, *keys).distinct()
+    if compact:
+        records = records.repartition(F.col(id_col))
+    return resources, records

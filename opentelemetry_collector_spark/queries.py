@@ -602,6 +602,34 @@ def tail_sample_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "group_by_attrs",
+    """
+    SELECT md5(concat_ws(chr(29),
+             CASE WHEN source IS NULL THEN chr(30) || 'nil'
+                  ELSE chr(31) || source END,
+             CASE WHEN lang IS NULL THEN chr(30) || 'nil'
+                  ELSE chr(31) || lang END)) AS resource_id,
+           source, lang, CAST(count(*) AS BIGINT) AS n_records
+    FROM documents GROUP BY source, lang
+    """,
+)
+def group_by_attrs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext groupbyattrs (contrib groupbyattrsprocessor): reassociate
+    records under a synthetic resource keyed by (source, lang) — resource
+    ids are a deterministic md5 projection (no shuffle on the record side);
+    only the distinct resource table and the per-resource counts exchange
+    rows."""
+    from .operators.router import group_by_attrs
+
+    d = _t(spark, sf_dir, "documents")
+    resources, records = group_by_attrs(d, ["source", "lang"])
+    counts = records.groupBy("resource_id").agg(F.count(F.lit(1)).alias("n_records"))
+    return resources.join(counts, "resource_id").select(
+        "resource_id", "source", "lang", "n_records"
+    )
+
+
+@_q(
     "tail_sample_policies",
     """
     SELECT e.event_id, e.user_id, e.event_type, ROUND(e.value, 4) AS value
@@ -2869,10 +2897,11 @@ _DRIVER_PRIORITY = [
     "session_window_agg",
     "len_quantiles_by_source",
     # r02-green keys whose operators changed this round — re-confirm early
-    "join_asof",
-    "relabel_chain",
-    "dedup_ngram_jaccard",
     "dedup_corpus_keep",
+    # (join_asof, relabel_chain, dedup_ngram_jaccard also changed this round
+    # but carry r02-green rows + local replica passes, and their fixes are
+    # latent edge cases the keyed queries don't exercise — bumped from the
+    # 50-key window in favor of the never-tested keys below)
     # new this round — never driver-tested
     "dedup_corpus_keep_lsh",
     "dedup_corpus_recall",
@@ -2904,6 +2933,7 @@ _DRIVER_PRIORITY = [
     "route_ottl",
     "tail_sample_policies",
     "metrics_generation",
+    "group_by_attrs",
 ]
 
 

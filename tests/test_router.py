@@ -81,3 +81,33 @@ def test_routes_from_config_df(spark):
 def test_no_route_yields_null_tag(spark):
     tagged = route_tag(_df(spark), [Route("hot", "src = 'a'", 0)])
     assert tagged.filter(F.col("sink").isNull()).count() == 4
+
+
+def test_group_by_attrs_resources_and_null_keys(spark):
+    from opentelemetry_collector_spark.operators.router import group_by_attrs
+
+    rows = [(1, "a", "en"), (2, "a", "en"), (3, "a", None), (4, "a", "NULL")]
+    df = spark.createDataFrame(rows, "id long, src string, lang string")
+    resources, records = group_by_attrs(df, ["src", "lang"])
+    res = resources.collect()
+    # NULL and the literal string "NULL" are DIFFERENT resources
+    assert len(res) == 3
+    rid = {(r.src, r.lang): r.resource_id for r in res}
+    assert len(set(rid.values())) == 3
+    # record side carries the matching id, computed without any join
+    recs = {r.id: r.resource_id for r in records.collect()}
+    assert recs[1] == recs[2] == rid[("a", "en")]
+    assert recs[3] == rid[("a", None)] != recs[4]
+
+
+def test_group_by_attrs_record_side_no_shuffle(spark):
+    from opentelemetry_collector_spark.operators.router import group_by_attrs
+
+    df = spark.createDataFrame([(1, "a")], "id long, src string")
+    _, records = group_by_attrs(df, ["src"])
+    plan = records._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    # compact=True opts into the co-locating repartition
+    _, compacted = group_by_attrs(df, ["src"], compact=True)
+    cplan = compacted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(resource_id" in cplan
