@@ -128,7 +128,11 @@ def main() -> None:
     # queries of JVM/GC history — min-of-3 recovers the fresh-JVM number
     # run_scaling measures for identical code.  An EXPLICIT
     # SPARK_GRAFT_BENCH_TRIALS is honored as-is (smoke runs want 1 pass).
-    pipe_trials = trials if "SPARK_GRAFT_BENCH_TRIALS" in os.environ else max(trials, 3)
+    # 5 default trials, not 3: measured same-code trial variance on this
+    # shared host reaches 2× within a single minute (16 s vs 36 s walls,
+    # 2026-08-17 afternoon) — min-of-5 recovers the quiet-host number far
+    # more reliably than min-of-3 under that regime.
+    pipe_trials = trials if "SPARK_GRAFT_BENCH_TRIALS" in os.environ else max(trials, 5)
     for trial in range(max(pipe_trials, 1) + 1):  # first pass = warmup (JIT/codegen)
         t0 = time.monotonic()
         out = run_pipeline(spark, records, lookup)
