@@ -214,11 +214,16 @@ def test_golden_config_file_runs_pipeline(spark):
     assert spec_from_yaml(spec_to_yaml(spec)).routes == spec.routes
     out = run_pipeline(spark, gen_telemetry(spark, 400, partitions=2), gen_lookup(spark), spec=spec)
     tagged = out["tagged"]
-    row = tagged.filter("source = 'src0'").select("pipeline_name", "src_num", "tid").first()
+    row = tagged.filter("source = 'src0'").select(
+        "pipeline_name", "src_num", "tid", "tier"
+    ).first()
     assert row["pipeline_name"] == "golden" and row["src_num"] == "n0"
     assert row["tid"] is None or len(row["tid"]) == 64  # sha256-hashed in place
+    assert row["tier"] == "hot"                          # OTTL transform ran
     sinks = {r["sink"] for r in tagged.select("sink").distinct().collect()}
     assert "sink_hot" in sinks and "sink_default" in sinks
+    # OTTL condition route (level == "ERROR") tags non-src0/1/2 error rows
+    assert tagged.filter("sink = 'sink_errors' AND level <> 'ERROR'").count() == 0
 
 
 YAML_TRANSFORM = YAML_OK.replace(
