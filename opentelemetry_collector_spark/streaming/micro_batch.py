@@ -148,6 +148,10 @@ def run_stream_pipeline(
                 from ..functions.ottl import apply_ottl
 
                 df = apply_ottl(df, spec.transform)
+            if spec.drop_conditions:
+                from ..operators.filters import filter_ottl_drop
+
+                df = filter_ottl_drop(df, spec.drop_conditions)
         enriched = broadcast_enrich(df, lookup, on="source", defaults={"env": "unknown"})
         tagged = route_tag(enriched, routes)
         io.append_group_partitioned(tagged, "sink", sinks, f"q{stream_tag()}-batch{batch_id:08d}")

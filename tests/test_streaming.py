@@ -458,6 +458,7 @@ def test_stream_pipeline_applies_ottl_transform(spark, tmp_path, seq_dir):
     spec = PipelineSpec(
         routes=ROUTES,
         transform=['set(tier, "hot") where source == "src0"'],
+        drop_conditions=['source == "src3"'],
     )
     sink_root = str(tmp_path / "sinks")
     q = run_stream_pipeline(
@@ -476,3 +477,6 @@ def test_stream_pipeline_applies_ottl_transform(spark, tmp_path, seq_dir):
     assert hot.filter(F.col("tier") != "hot").count() == 0
     dflt = io.read(spark, "sink_default")
     assert dflt.filter(F.col("source") != "src0").filter(F.col("tier").isNotNull()).count() == 0
+    # OTTL drop condition (filterprocessor analog) ran in the micro-batch
+    for sink in ("sink_hot", "sink_default"):
+        assert io.read(spark, sink).filter(F.col("source") == "src3").count() == 0
