@@ -179,6 +179,121 @@ def chunk_token_stream(df: DataFrame, max_len: int = 2048, tokens_col: str = "to
     )
 
 
+def _global_prefix_sum(
+    df: DataFrame, order_cols: list[str], weight_col: str, out_col: str
+) -> DataFrame:
+    """Exclusive prefix sum of ``weight_col`` over the GLOBAL order of
+    ``order_cols`` — two-phase distributed, never a one-partition Window:
+
+    1. range-repartition + sort-within on the order key, then
+       ``localCheckpoint(eager=True)``.  Range boundaries are SAMPLED per
+       evaluation, so the frame that feeds BOTH the per-partition totals and
+       the local cumsum must be pinned to ONE materialization; a checkpoint
+       (unlike ``persist``, whose evicted blocks silently recompute with
+       fresh boundaries) truncates lineage — a lost block fails the job
+       loudly instead of mis-aligning offsets.
+    2. per-partition weight totals → prefix offsets (a #partitions-row
+       aggregate, broadcast back) + per-partition running sum.
+
+    Returns the input columns plus ``out_col`` (sum of weights of all rows
+    strictly before this row in the global order)."""
+    from pyspark.sql import Window
+
+    staged = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = staged.groupBy("_pid").agg(F.sum(weight_col).alias("_w"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_w").over(off_w), F.lit(0)).alias("_part_off")
+    )
+    run_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        staged.withColumn("_run", F.sum(weight_col).over(run_w))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn(out_col, F.col("_part_off") + F.col("_run") - F.col(weight_col))
+        .drop("_pid", "_run", "_part_off")
+    )
+
+
+def chunk_token_stream_global(
+    df: DataFrame,
+    max_len: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    with_tokens: bool = False,
+) -> DataFrame:
+    """Concat-and-split packing with a DETERMINISTIC global stream order —
+    the fully parallel, value-checkable form of ``chunk_token_stream``.
+
+    The virtual token stream is the concatenation of all docs ordered by
+    ``id_col``; chunk *c* holds global token positions
+    ``[c·max_len, (c+1)·max_len)``; the trailing partial chunk is dropped
+    (standard causal-LM packing).  Plan, all built-ins:
+
+    1. exclusive global token offset per doc via :func:`_global_prefix_sum`
+       (two-phase rank — no single-partition funnel);
+    2. each doc explodes into the ≤ ⌈n_tok/max_len⌉+1 chunk ids it overlaps
+       and contributes an ``F.slice`` of its token array per chunk — rows
+       shuffled ≈ #docs + #chunks carrying array SEGMENTS, never one row
+       per token;
+    3. groupBy(chunk_id): sort segments by their start offset within the
+       chunk, flatten, keep exactly-max_len chunks.
+
+    Output: ``chunk_id`` (global 0-based ordinal), ``chunk_md5`` (digest of
+    the comma-joined token list — lets an independent engine value-check
+    chunk CONTENTS without comparing raw arrays), ``n_tok``, and the token
+    array itself when ``with_tokens``.  Deterministic at any parallelism."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).alias("_toks"),
+        F.size(tokens_col).cast("bigint").alias("_n"),
+    )
+    with_off = _global_prefix_sum(base, ["_id"], "_n", "_off").filter(F.col("_n") > 0)
+    first_c = F.floor(F.col("_off") / max_len)
+    last_c = F.floor((F.col("_off") + F.col("_n") - 1) / max_len)
+    seg = with_off.select(
+        "_off", "_toks", "_n", F.explode(F.sequence(first_c, last_c)).alias("chunk_id")
+    )
+    g_start = F.greatest(F.col("chunk_id") * max_len, F.col("_off"))
+    g_end = F.least((F.col("chunk_id") + 1) * max_len, F.col("_off") + F.col("_n"))
+    pieces = seg.select(
+        "chunk_id",
+        (g_start - F.col("chunk_id") * max_len).cast("int").alias("_pos"),
+        F.slice(
+            "_toks", (g_start - F.col("_off") + 1).cast("int"), (g_end - g_start).cast("int")
+        ).alias("_piece"),
+    )
+    chunks = (
+        pieces.groupBy("chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_piece"))),
+                    lambda x: x["_piece"],
+                )
+            ).alias("tokens")
+        )
+        .filter(F.size("tokens") == max_len)
+    )
+    out = chunks.select(
+        "chunk_id",
+        F.md5(F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",")).alias(
+            "chunk_md5"
+        ),
+        F.size("tokens").alias("n_tok"),
+        "tokens",
+    )
+    return out if with_tokens else out.drop("tokens")
+
+
 def epoch_shuffle(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
     """Deterministic global training-epoch shuffle: a total order derived
     from md5(id:seed), exposed as ``shuffle_pos`` (1-based).
@@ -195,34 +310,32 @@ def epoch_shuffle(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
 
     Position assignment is the two-phase distributed global rank — NOT a
     global Window.orderBy, which collapses every row into ONE partition
-    (the canonical window-function scale-killer): (1) range-repartition +
-    sort within partitions on (key, id); (2) rank within each partition;
-    (3) add per-partition row-count prefix offsets (a #partitions-row
-    aggregate, broadcast back).  Global rank is independent of where the
-    sampled range boundaries land, so the output is deterministic."""
+    (the canonical window-function scale-killer).  Because the sort key is
+    a UNIFORM md5 hex string, the range split needs no boundary sampling:
+    the leading ``hex_chars`` characters of the key ARE a deterministic,
+    order-preserving bucket (bucket b's keys all sort before bucket b+1's).
+    (1) bucket = int(hex prefix); (2) rank within bucket (hash-partitioned
+    window — balanced, 16^hex_chars buckets); (3) add per-bucket row-count
+    prefix offsets (a #buckets-row aggregate, broadcast back).  Fully
+    deterministic with NO persist/checkpoint dependence — unlike a sampled
+    ``repartitionByRange``, re-evaluating the frame cannot re-draw
+    boundaries, so executor loss recomputes the identical answer."""
     from pyspark.sql import Window
 
+    hex_chars = 3  # 4096 buckets; raise to 4 (65536) beyond ~10^10 rows
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
-    keyed = (
-        df.select(F.col(id_col), key.alias("_sk"))
-        .repartitionByRange(F.col("_sk"), F.col(id_col))
-        .sortWithinPartitions("_sk", id_col)
-        .withColumn("_pid", F.spark_partition_id())
-        # persist: the frame feeds both the offsets aggregate and the rank
-        # pass; range boundaries are SAMPLED per evaluation, so without
-        # pinning one materialization the two consumers could see different
-        # partition ids and the offsets would mis-align
-        .persist()
-    )
-    # prefix offsets: #partitions rows — window over that tiny frame is fine
-    counts = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    keyed = df.select(
+        F.col(id_col), key.alias("_sk")
+    ).withColumn("_b", F.conv(F.substring("_sk", 1, hex_chars), 16, 10).cast("int"))
+    # prefix offsets: #buckets rows — window over that tiny frame is fine
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+        "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
     )
-    local_w = Window.partitionBy("_pid").orderBy(F.col("_sk").asc(), F.col(id_col).asc())
+    local_w = Window.partitionBy("_b").orderBy(F.col("_sk").asc(), F.col(id_col).asc())
     return (
         keyed.withColumn("_r", F.row_number().over(local_w))
-        .join(F.broadcast(offsets), on="_pid")
+        .join(F.broadcast(offsets), on="_b")
         .select(F.col(id_col), (F.col("_off") + F.col("_r")).alias("shuffle_pos"))
     )

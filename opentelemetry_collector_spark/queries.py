@@ -2152,19 +2152,35 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(packed, max_len=512).orderBy("source")
 
 
-@_q("chunk_token_stream", None)  # partition-order dependent — rows-only
+@_q(
+    "chunk_token_stream",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents),
+    tok AS (
+      SELECT doc_id, generate_subscripts(codes, 1) AS i,
+             CAST(unnest(codes) % 50257 AS INTEGER) AS tk
+      FROM t),
+    ord AS (SELECT tk, row_number() OVER (ORDER BY doc_id, i) AS rn FROM tok),
+    ch AS (SELECT CAST((rn - 1) // 256 AS BIGINT) AS chunk_id, tk, rn FROM ord)
+    SELECT chunk_id,
+           md5(string_agg(CAST(tk AS VARCHAR), ',' ORDER BY rn)) AS chunk_md5,
+           CAST(count(*) AS INT) AS n_tok
+    FROM ch GROUP BY chunk_id HAVING count(*) = 256
+    """,
+)
 def chunk_token_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-split LM packing: every output row exactly 256 tokens
-    (mapInPandas streaming kernel with cross-batch carry).
+    """Concat-and-split LM packing, fully parallel AND value-checked: the
+    virtual token stream is all docs in doc_id order; every output chunk is
+    exactly 256 tokens; the trailing partial chunk is dropped.
 
-    Gate variant: ONE doc_id-sorted stream (repartition(1) +
-    sortWithinPandas order) with portable word-code tokens, so the chunk
-    CONTENTS are engine-reproducible and the oracle value-checks every
-    token of every chunk.  The scale path runs the same kernel
-    partition-parallel (chunks form per partition — pytest-covered
-    conservation/window tests); the single-stream form is the correctness
-    harness, not the deployment shape."""
-    from .operators.packing import chunk_token_stream
+    Global doc offsets come from a two-phase distributed prefix sum (no
+    single-partition funnel — this replaced the round-≤3 ``repartition(1)``
+    gate variant), then each doc contributes array SEGMENTS to the chunks it
+    overlaps.  The output leads with scalar columns (``chunk_id`` global
+    ordinal, ``chunk_md5`` digest of the comma-joined tokens) so the driver
+    canonicalizer never sorts a raw-array column, and the md5 value-checks
+    every token of every chunk against the DuckDB replay."""
+    from .operators.packing import chunk_token_stream_global
     from .operators.textstats import word_codes
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2175,22 +2191,7 @@ def chunk_token_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens"
         ),
     )
-    ordered = docs.repartition(1).sortWithinPartitions("doc_id").select("tokens")
-    return chunk_token_stream(ordered, max_len=256)
-
-
-ORACLES["chunk_token_stream"] = f"""
-    WITH t AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents),
-    tok AS (
-      SELECT doc_id, generate_subscripts(codes, 1) AS i,
-             CAST(unnest(codes) % 50257 AS INTEGER) AS tk
-      FROM t),
-    ord AS (SELECT tk, row_number() OVER (ORDER BY doc_id, i) AS rn FROM tok),
-    ch AS (SELECT CAST((rn - 1) // 256 AS BIGINT) AS cid, tk, rn FROM ord),
-    filled AS (SELECT cid FROM ch GROUP BY cid HAVING count(*) = 256)
-    SELECT list(tk ORDER BY rn) AS tokens
-    FROM ch JOIN filled USING (cid) GROUP BY cid
-"""
+    return chunk_token_stream_global(docs, max_len=256)
 
 
 @_q(

@@ -72,6 +72,61 @@ def test_chunk_token_stream_exact_windows(spark, seqs):
     chunks.unpersist()
 
 
+def test_chunk_global_parallelism_invariant_and_conserving(spark, seqs):
+    from opentelemetry_collector_spark.operators.packing import chunk_token_stream_global
+
+    ids = seqs.select(F.col("doc_id"), F.col("tokens"))
+    a = chunk_token_stream_global(ids.repartition(2), max_len=128).cache()
+    b = chunk_token_stream_global(ids.repartition(16), max_len=128)
+    cols = ["chunk_id", "chunk_md5", "n_tok"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    # conservation: exactly floor(total/max_len) full chunks, ids 0..k-1
+    tot_in = seqs.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    n_chunks = a.count()
+    assert n_chunks == tot_in // 128
+    ids_seen = sorted(r["chunk_id"] for r in a.select("chunk_id").collect())
+    assert ids_seen == list(range(n_chunks))
+    a.unpersist()
+
+
+def test_chunk_global_matches_single_stream_reference(spark):
+    """Docs spanning chunk boundaries reproduce the exact concatenated
+    stream a sequential single-process walk would emit."""
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.packing import chunk_token_stream_global
+
+    rows = [(i, list(range(i * 100, i * 100 + ln))) for i, ln in enumerate([7, 13, 5, 29, 3, 17, 11])]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>").repartition(4)
+    out = {r["chunk_id"]: (r["chunk_md5"], r["n_tok"])
+           for r in chunk_token_stream_global(df, max_len=10).collect()}
+    stream = [t for _, toks in sorted(rows) for t in toks]
+    want = {
+        c: (hashlib.md5(",".join(map(str, stream[c * 10:(c + 1) * 10])).encode()).hexdigest(), 10)
+        for c in range(len(stream) // 10)
+    }
+    assert out == want
+
+
+def test_epoch_shuffle_total_deterministic_permutation(spark, seqs):
+    from opentelemetry_collector_spark.operators.packing import epoch_shuffle
+
+    a = epoch_shuffle(seqs.repartition(3), "doc_id", seed=1).cache()
+    n = seqs.count()
+    pos = [r["shuffle_pos"] for r in a.orderBy("shuffle_pos").collect()]
+    assert pos == list(range(1, n + 1))  # a total permutation, 1-based
+    b = epoch_shuffle(seqs.repartition(16), "doc_id", seed=1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = epoch_shuffle(seqs, "doc_id", seed=2)
+    # different seed ⇒ a different permutation (overwhelmingly)
+    same = a.alias("x").join(c.alias("y"), "doc_id").filter(
+        F.col("x.shuffle_pos") == F.col("y.shuffle_pos")
+    ).count()
+    assert same < n
+    a.unpersist()
+
+
 def test_token_freq_topk_deterministic(spark):
     df = spark.createDataFrame(
         [("a b b c c c",), ("c b a  a",)], "text string"

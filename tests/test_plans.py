@@ -170,7 +170,7 @@ def test_bucketed_join_is_shuffle_free(spark):
 
 # keys whose plans legitimately contain Python eval (Arrow kernels) or an
 # intentional non-equi pair join (brute-force baseline)
-_PYTHON_OK = {"mm_decode_features", "mm_resize", "pack_sequences", "chunk_token_stream"}
+_PYTHON_OK = {"mm_decode_features", "mm_resize", "pack_sequences"}
 _NESTED_LOOP_OK = {
     "ann_cosine_topk",        # brute-force baseline: broadcast queries × all vectors
     "dedup_embedding_recall",  # recall audit: all-pairs GROUND TRUTH side, small-SF only
