@@ -261,13 +261,15 @@ def _compile(node, df: DataFrame) -> Column:
             return target.substr(start, _compile(node.args[2], df).cast("int"))
         if node.fn == "Split":
             delim = node.args[1]
-            if not isinstance(delim, Lit):
-                raise ValueError("OTTL: Split delimiter must be a literal")
+            if not isinstance(delim, Lit) or not str(delim.value):
+                raise ValueError("OTTL: Split delimiter must be a non-empty literal")
             # upstream splits on the LITERAL delimiter (Go strings.Split);
-            # Spark split takes a regex, so quote it
+            # Spark split takes a regex, so \Q-quote it — breaking any
+            # embedded \E (which would terminate the quote and leak raw
+            # regex), same rewrite as java.util.regex.Pattern.quote
+            quoted = str(delim.value).replace("\\E", "\\E\\\\E\\Q")
             return F.split(
-                _compile(node.args[0], df).cast("string"),
-                "\\Q" + str(delim.value) + "\\E",
+                _compile(node.args[0], df).cast("string"), "\\Q" + quoted + "\\E"
             )
         if node.fn == "Concat":
             vals, delim = node.args[0], node.args[1]
@@ -317,6 +319,17 @@ def _apply_one(df: DataFrame, call: Call, cond) -> DataFrame:
         return F.when(gate, new).otherwise(old) if gate is not None else new
 
     target = call.args[0] if call.args else None
+    # missing-column convention, matching _compile's nil paths: an editor
+    # whose TARGET column doesn't exist is a no-op (upstream: statements on
+    # absent maps do nothing) — except bare `set(col, v)`, which creates the
+    # column.  Without this, F.col(target) raises AnalysisException
+    # mid-pipeline even though validate_statement passed at config load.
+    if (
+        isinstance(target, Path)
+        and target.name not in df.columns
+        and not (call.fn == "set" and target.key is None)
+    ):
+        return df
     if call.fn == "set":
         if not isinstance(target, Path):
             raise ValueError("OTTL: set target must be a path")
@@ -382,8 +395,10 @@ def _validate_expr(node) -> None:
             raise ValueError(f"OTTL: {node.fn} takes {arity} args, got {len(node.args)}")
         if node.fn == "IsMatch" and not isinstance(node.args[1], Lit):
             raise ValueError("OTTL: IsMatch pattern must be a literal")
-        if node.fn == "Split" and not isinstance(node.args[1], Lit):
-            raise ValueError("OTTL: Split delimiter must be a literal")
+        if node.fn == "Split" and not (
+            isinstance(node.args[1], Lit) and str(node.args[1].value)
+        ):
+            raise ValueError("OTTL: Split delimiter must be a non-empty literal")
         if node.fn == "Concat" and not (
             isinstance(node.args[0], ListLit) and isinstance(node.args[1], Lit)
         ):

@@ -286,8 +286,14 @@ def exponential_histogram(
     unbounded and self-scaling, which is why the collector's OTLP path
     prefers it at high dynamic range."""
     v = F.col(value_col)
+    # round the scaled log to 9 decimals before ceil, mirrored in the SQL
+    # oracle: on exact powers of the base the scaled log lands on an
+    # integer, and a 1-ulp log2 difference between engines would flip the
+    # ceil and shift the bucket by one — the rounding makes both engines
+    # agree deterministically (and is far below the bucket width 2^-scale)
     idx = F.when(
-        v > 0, (F.ceil(F.log2(v) * F.lit(float(1 << scale))) - 1).cast("long")
+        v > 0,
+        (F.ceil(F.round(F.log2(v) * F.lit(float(1 << scale)), 9)) - 1).cast("long"),
     )
     staged = df.select(F.col(dim_col), idx.alias("bucket_idx"))
     return (

@@ -153,15 +153,23 @@ def group_by_attrs(
     the batch analog of the processor's compaction, co-locating each
     resource's records for downstream per-resource work (one extra shuffle,
     opt-in)."""
-    # NULL-tagged concat: distinguish NULL from the string "NULL" and avoid
-    # separator-collision between adjacent keys (control chars \x1e/\x1f/\x1d
-    # — never NUL, which some engines truncate strings on)
+    # Length-prefixed encoding: each part is 'n:' for NULL or
+    # 'v<len>:<value>' otherwise, so no attribute VALUE can forge a part
+    # boundary (a delimiter scheme is collidable — a value containing the
+    # separator bytes hashes like a different key tuple; a length prefix
+    # is a proper injective frame)
     parts = [
-        F.when(F.col(k).isNull(), F.lit("\x1enil"))
-        .otherwise(F.concat(F.lit("\x1f"), F.col(k).cast("string")))
+        F.when(F.col(k).isNull(), F.lit("n:")).otherwise(
+            F.concat(
+                F.lit("v"),
+                F.length(F.col(k).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(k).cast("string"),
+            )
+        )
         for k in keys
     ]
-    rid = F.md5(F.concat_ws("\x1d", *parts))
+    rid = F.md5(F.concat(*parts))
     records = df.withColumn(id_col, rid)
     resources = records.select(id_col, *keys).distinct()
     if compact:

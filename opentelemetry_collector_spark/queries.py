@@ -604,11 +604,11 @@ def tail_sample_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "group_by_attrs",
     """
-    SELECT md5(concat_ws(chr(29),
-             CASE WHEN source IS NULL THEN chr(30) || 'nil'
-                  ELSE chr(31) || source END,
-             CASE WHEN lang IS NULL THEN chr(30) || 'nil'
-                  ELSE chr(31) || lang END)) AS resource_id,
+    SELECT md5(concat(
+             CASE WHEN source IS NULL THEN 'n:'
+                  ELSE 'v' || length(source) || ':' || source END,
+             CASE WHEN lang IS NULL THEN 'n:'
+                  ELSE 'v' || length(lang) || ':' || lang END)) AS resource_id,
            source, lang, CAST(count(*) AS BIGINT) AS n_records
     FROM documents GROUP BY source, lang
     """,
@@ -2683,7 +2683,8 @@ def transform_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT event_type,
              CASE WHEN value > 0
-                  THEN CAST(ceil(log2(value) * 4) - 1 AS BIGINT) END AS bucket_idx
+                  THEN CAST(ceil(round(log2(value) * 4, 9)) - 1 AS BIGINT)
+             END AS bucket_idx
       FROM events),
     g AS (SELECT event_type, bucket_idx, count(*) AS n FROM b GROUP BY 1, 2)
     SELECT event_type,

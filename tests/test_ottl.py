@@ -255,3 +255,36 @@ def test_converter_arity_validation():
         with pytest.raises(ValueError):
             validate_statement(bad)
     validate_statement('set(x, Concat([a, "lit", Upper(b)], "-"))')
+
+
+def test_map_editors_noop_on_missing_column(spark):
+    """Editor targets that don't exist are a no-op (the nil-path convention
+    _compile uses for reads), not an AnalysisException mid-pipeline."""
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    stmts = [
+        'delete_key(attributes, "k")',
+        'keep_keys(attributes, ["k"])',
+        "truncate_all(attributes, 4)",
+        'replace_pattern(attributes["k"], "a", "b")',
+        'set(attributes["k"], "v")',
+    ]
+    for stmt in stmts:
+        out = apply_ottl(df, [stmt])
+        assert out.columns == df.columns
+        assert out.collect() == df.collect()
+    # bare set still CREATES the column
+    assert apply_ottl(df, ['set(tier, "hot")']).collect()[0].tier == "hot"
+
+
+def test_split_delimiter_with_embedded_quote_end(spark):
+    # a delimiter containing \E must not terminate the \Q regex quote
+    df = spark.createDataFrame([(1, r"a\Eb\Ec")], "id long, s string")
+    out = apply_ottl(df, [r'set(parts, Split(s, "\\E"))']).collect()[0]
+    assert out.parts == ["a", "b", "c"]
+
+
+def test_split_empty_delimiter_rejected():
+    from opentelemetry_collector_spark.functions.ottl import validate_statement
+
+    with pytest.raises(ValueError, match="non-empty"):
+        validate_statement('set(x, Split(y, ""))')

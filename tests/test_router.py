@@ -111,3 +111,22 @@ def test_group_by_attrs_record_side_no_shuffle(spark):
     _, compacted = group_by_attrs(df, ["src"], compact=True)
     cplan = compacted._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(resource_id" in cplan
+
+
+def test_group_by_attrs_resource_id_not_forgeable(spark):
+    """Length-prefixed key encoding: values crafted to contain the old
+    delimiter bytes (or 'v<len>:' framing text) cannot merge two DISTINCT
+    key tuples into one resource id."""
+    from opentelemetry_collector_spark.operators.router import group_by_attrs
+
+    rows = [
+        (1, "a\x1d\x1fb", None),      # old scheme: collided with ('a','b')
+        (2, "a", "b"),
+        (3, "v1:a", "b"),             # framing-text injection attempt
+        (4, "v", "1:ab"),
+        (5, None, "n:"),              # nil marker as a literal value
+        (6, "n:", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, k1 string, k2 string")
+    resources, _ = group_by_attrs(df, ["k1", "k2"])
+    assert resources.count() == 6  # all six tuples distinct
