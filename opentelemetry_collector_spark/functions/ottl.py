@@ -19,10 +19,15 @@ processor ships that map 1:1 onto Spark builtins):
 
 - paths: bare identifiers are top-level columns; ``attributes["k"]`` indexes
   a ``map<string,string>`` column (any map column name works).
-- editors: set, delete_key, keep_keys, replace_pattern, truncate_all.
+- editors: set, delete_key, keep_keys, replace_pattern, truncate_all,
+  delete_matching_keys, keep_matching_keys, replace_all_patterns
+  (key/value modes).
 - converters (inside expressions): Int, Double, String, SHA256, Lower,
   Upper, Len, Trim, Substring (0-based, upstream-style), Split (literal
-  delimiter), Concat (list + delimiter), IsMatch (predicate).
+  delimiter), Concat (list + delimiter), IsMatch (predicate), ParseJSON,
+  UnixSeconds/UnixMilli/UnixMicro/UnixNano, Hour/Minute/Second, and the
+  type predicates IsString/IsInt/IsDouble/IsBool (plan-time constants of
+  the column dtype in this statically-typed engine; nil → false).
 - ``where <condition>`` gates any editor per row: ==, !=, <, <=, >, >=,
   and/or/not, parentheses, nil.
 
@@ -228,14 +233,40 @@ _CONVERTERS = {
     "Upper": lambda a: F.upper(a[0]),
     "Len": lambda a: F.length(a[0].cast("string")).cast("long"),
     "Trim": lambda a: F.trim(a[0].cast("string")),
+    # ParseJSON: upstream returns a pcommon.Map; the Spark analog is a
+    # map<string,string> from_json (nil on malformed input, like upstream's
+    # error value).  Nested objects flatten to their JSON text.
+    "ParseJSON": lambda a: F.from_json(a[0].cast("string"), "map<string,string>"),
+    # time converters (upstream ottlfuncs; int64 epoch / component extracts)
+    "UnixSeconds": lambda a: F.unix_seconds(a[0].cast("timestamp")),
+    "UnixMilli": lambda a: F.unix_millis(a[0].cast("timestamp")),
+    "UnixMicro": lambda a: F.unix_micros(a[0].cast("timestamp")),
+    "UnixNano": lambda a: F.unix_micros(a[0].cast("timestamp")) * F.lit(1000),
+    "Hour": lambda a: F.hour(a[0]).cast("long"),
+    "Minute": lambda a: F.minute(a[0]).cast("long"),
+    "Second": lambda a: F.second(a[0]).cast("long"),
     "IsMatch": None,    # handled in _compile (needs the literal pattern)
     "Substring": None,  # handled in _compile (0-based → 1-based shift)
     "Split": None,      # handled in _compile (literal, non-regex delimiter)
     "Concat": None,     # handled in _compile (list arg + literal delimiter)
+    "IsString": None,   # handled in _compile (static type of the arg)
+    "IsInt": None,
+    "IsDouble": None,
+    "IsBool": None,
 }
 
 # converter name -> arity (validated at config load; 1 unless listed)
 _CONVERTER_ARITY = {"IsMatch": 2, "Substring": 3, "Split": 2, "Concat": 2}
+
+# type-predicate converters: upstream inspects the pcommon value's dynamic
+# type; in a statically-typed engine the answer is a plan-time constant of
+# the column's dtype — except nil, which upstream reports as false
+_TYPE_PREDICATES = {
+    "IsString": ("string",),
+    "IsInt": ("tinyint", "smallint", "int", "bigint"),
+    "IsDouble": ("float", "double"),
+    "IsBool": ("boolean",),
+}
 
 
 def _compile(node, df: DataFrame) -> Column:
@@ -278,6 +309,11 @@ def _compile(node, df: DataFrame) -> Column:
             return F.concat_ws(
                 str(delim.value), *[_compile(v, df).cast("string") for v in vals.items]
             )
+        if node.fn in _TYPE_PREDICATES:
+            arg = _compile(node.args[0], df)
+            dtype = df.select(arg.alias("_t")).schema[0].dataType.simpleString()
+            matches = dtype in _TYPE_PREDICATES[node.fn]
+            return F.when(arg.isNull(), F.lit(False)).otherwise(F.lit(matches))
         conv = _CONVERTERS.get(node.fn)
         if conv is None:
             raise ValueError(f"OTTL: unknown converter {node.fn!r}")
@@ -368,6 +404,46 @@ def _apply_one(df: DataFrame, call: Call, cond) -> DataFrame:
             F.col(target.name), lambda _, v: F.substring(v, 1, int(n.value))
         )
         return df.withColumn(target.name, gated(target.name, new))
+    if call.fn in ("delete_matching_keys", "keep_matching_keys"):
+        pat = call.args[1]
+        if not (isinstance(target, Path) and isinstance(pat, Lit)):
+            raise ValueError(f'OTTL: {call.fn}(map_column, "regex")')
+        keep = call.fn == "keep_matching_keys"
+        new = F.map_filter(
+            F.col(target.name),
+            lambda k, _: k.rlike(str(pat.value)) if keep else ~k.rlike(str(pat.value)),
+        )
+        return df.withColumn(target.name, gated(target.name, new))
+    if call.fn == "replace_all_patterns":
+        mode, pat, repl = call.args[1], call.args[2], call.args[3]
+        if not (
+            isinstance(target, Path)
+            and isinstance(mode, Lit)
+            and isinstance(pat, Lit)
+            and isinstance(repl, Lit)
+        ):
+            raise ValueError('OTTL: replace_all_patterns(map, "key"|"value", "re", "repl")')
+        if str(mode.value) == "value":
+            new = F.transform_values(
+                F.col(target.name),
+                lambda _, v: F.regexp_replace(v, str(pat.value), str(repl.value)),
+            )
+        else:  # "key": rebuild entries with rewritten keys.  NB: two keys
+            # rewriting to the same string follow the session's
+            # spark.sql.mapKeyDedupPolicy (default EXCEPTION — loud, not
+            # silent last-wins; upstream pdata maps would silently merge)
+            new = F.map_from_entries(
+                F.transform(
+                    F.map_entries(F.col(target.name)),
+                    lambda e: F.struct(
+                        F.regexp_replace(
+                            e["key"], str(pat.value), str(repl.value)
+                        ).alias("key"),
+                        e["value"].alias("value"),
+                    ),
+                )
+            )
+        return df.withColumn(target.name, gated(target.name, new))
     raise ValueError(f"OTTL: unknown editor {call.fn!r}")
 
 
@@ -383,6 +459,9 @@ _EDITOR_SIG = {
     "keep_keys": (2, (Path, ListLit)),
     "replace_pattern": (3, (Path, Lit, Lit)),
     "truncate_all": (2, (Path, Lit)),
+    "delete_matching_keys": (2, (Path, Lit)),
+    "keep_matching_keys": (2, (Path, Lit)),
+    "replace_all_patterns": (4, (Path, Lit, Lit, Lit)),
 }
 
 
@@ -427,6 +506,10 @@ def validate_statement(text: str) -> tuple[Call, object | None]:
     arity, shapes = sig
     if len(call.args) != arity:
         raise ValueError(f"OTTL: {call.fn} takes {arity} args, got {len(call.args)}")
+    if call.fn == "replace_all_patterns" and (
+        not isinstance(call.args[1], Lit) or call.args[1].value not in ("key", "value")
+    ):
+        raise ValueError('OTTL: replace_all_patterns mode must be "key" or "value"')
     for arg, want in zip(call.args, shapes):
         if want is not None and not isinstance(arg, want):
             raise ValueError(

@@ -2678,6 +2678,54 @@ def transform_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "transform_ottl_parse",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k2,
+           regexp_replace(json_extract_string(props, '$.k'), '^6', '#') AS kv_k,
+           CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS ts_s,
+           CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ts_ms,
+           CAST(hour(ts) AS BIGINT) AS hh,
+           'true' AS is_str,
+           'false' AS is_int
+    FROM events
+    """,
+)
+def transform_ottl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-ext OTTL converter tranche (upstream pkg/ottl ottlfuncs): ParseJSON
+    into a map column, map-key hygiene editors (delete_matching_keys after a
+    synthetic key is injected), replace_all_patterns over map VALUES, epoch
+    (UnixSeconds/UnixMilli) and component (Hour) time converters, and the
+    IsString/IsInt type predicates (plan-time constants of the column dtype
+    here; nil → false, matching upstream).  Still ONE codegen projection —
+    each statement compiles to Column expressions, no per-row interpreter.
+    replace_all_patterns key-mode and keep_matching_keys are pytest-covered
+    (tests/test_ottl.py) — SQL map oracles aren't portable."""
+    from .functions.ottl import apply_ottl
+
+    ev = _t(spark, sf_dir, "events")
+    out = apply_ottl(
+        ev,
+        [
+            "set(kv, ParseJSON(props))",
+            'set(k2, Int(kv["k"]))',  # reads BEFORE the value scrub below
+            'set(kv["host"], Concat([event_type, String(user_id)], "-"))',
+            'replace_all_patterns(kv, "value", "^6", "#")',
+            'delete_matching_keys(kv, "^h")',  # drops the injected host key
+            'set(kv_k, kv["k"])',
+            "set(ts_s, UnixSeconds(ts))",
+            "set(ts_ms, UnixMilli(ts))",
+            "set(hh, Hour(ts))",
+            "set(is_str, String(IsString(event_type)))",
+            "set(is_int, String(IsInt(value)))",
+        ],
+    )
+    return out.select(
+        "event_id", "k2", "kv_k", "ts_s", "ts_ms", "hh", "is_str", "is_int"
+    )
+
+
+@_q(
     "hist_exponential",
     """
     WITH b AS (

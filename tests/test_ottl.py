@@ -288,3 +288,88 @@ def test_split_empty_delimiter_rejected():
 
     with pytest.raises(ValueError, match="non-empty"):
         validate_statement('set(x, Split(y, ""))')
+
+
+def test_parse_json_and_matching_key_editors(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "host": "web1", "hint": "x"}'), (2, "not json")],
+        "id long, props string",
+    )
+    out = _collect(
+        apply_ottl(
+            df,
+            [
+                "set(kv, ParseJSON(props))",
+                'delete_matching_keys(kv, "^h")',
+            ],
+        )
+    )
+    assert out[1].kv == {"k": "7"}
+    assert out[2].kv is None  # malformed JSON reads as nil, like upstream
+    kept = _collect(
+        apply_ottl(df, ["set(kv, ParseJSON(props))", 'keep_matching_keys(kv, "^h")'])
+    )
+    assert kept[1].kv == {"host": "web1", "hint": "x"}
+
+
+def test_replace_all_patterns_value_and_key_modes(spark):
+    df = spark.createDataFrame(
+        [(1, {"env": "prod-7", "region": "eu-1"})], "id long, m map<string,string>"
+    )
+    v = apply_ottl(df, ['replace_all_patterns(m, "value", "[0-9]+", "#")']).collect()[0]
+    assert v.m == {"env": "prod-#", "region": "eu-#"}
+    k = apply_ottl(df, ['replace_all_patterns(m, "key", "^env$", "environment")']).collect()[0]
+    assert k.m == {"environment": "prod-7", "region": "eu-1"}
+    with pytest.raises(ValueError, match="key.*value|mode"):
+        from opentelemetry_collector_spark.functions.ottl import validate_statement
+        validate_statement('replace_all_patterns(m, "both", "a", "b")')
+
+
+def test_time_converters(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 5, 14, 30, 45, 123456))], "id long, ts timestamp"
+    )
+    out = apply_ottl(
+        df,
+        [
+            "set(s, UnixSeconds(ts))",
+            "set(ms, UnixMilli(ts))",
+            "set(us, UnixMicro(ts))",
+            "set(ns, UnixNano(ts))",
+            "set(hh, Hour(ts))",
+            "set(mm, Minute(ts))",
+            "set(sec, Second(ts))",
+        ],
+    ).collect()[0]
+    base = int(dt.datetime(2024, 3, 5, 14, 30, 45, tzinfo=dt.timezone.utc).timestamp())
+    assert out.s == base
+    assert out.ms == base * 1000 + 123
+    assert out.us == base * 1_000_000 + 123456
+    assert out.ns == (base * 1_000_000 + 123456) * 1000
+    assert (out.hh, out.mm, out.sec) == (14, 30, 45)
+
+
+def test_type_predicates_static_types_and_nil(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 2, 2.5, True), (2, None, None, None, None)],
+        "id long, s string, i long, d double, b boolean",
+    )
+    out = _collect(
+        apply_ottl(
+            df,
+            [
+                "set(t_s, IsString(s))",
+                "set(t_i, IsInt(i))",
+                "set(t_d, IsDouble(d))",
+                "set(t_b, IsBool(b))",
+                "set(x_s, IsString(i))",   # wrong type → false
+                'set(m_v, IsString(missing["k"]))',  # nil path → false
+            ],
+        )
+    )
+    assert (out[1].t_s, out[1].t_i, out[1].t_d, out[1].t_b) == (True, True, True, True)
+    assert out[1].x_s is False and out[1].m_v is False
+    # nil values report false even when the column type matches
+    assert (out[2].t_s, out[2].t_i, out[2].t_d, out[2].t_b) == (False, False, False, False)
