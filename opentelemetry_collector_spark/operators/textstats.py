@@ -247,3 +247,57 @@ def boilerplate_ratio(df, id_col: str, text_col: str, n: int = 3, min_df: int = 
             4,
         ).alias("boiler_ratio"),
     )
+
+
+def bigram_logprob(df, id_col: str, text_col: str, lam: float = 0.75):
+    """Interpolated bigram LM quality score (engine extension): score every
+    document by the average log2-probability of its token bigrams under the
+    corpus's own interpolated bigram/unigram model,
+    p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N — the honest offline analog
+    of CCNet's 5-gram KenLM perplexity filter (Wenzek et al. 2020, public):
+    templated/boilerplate text scores high, shuffled-word noise low, even
+    when a unigram model can't tell them apart.
+
+    λ defaults to 0.75 (dyadic — exactly representable, so an independent
+    engine reproduces the arithmetic bit-for-bit before the final round).
+
+    Plan: bigrams come from one array transform + explode (no per-token
+    self-join); corpus bigram and unigram vocabularies are two hash
+    aggregates re-joined on (w1,w2)/w — every shuffle carries (doc, bigram)
+    or vocab-sized rows, linear in corpus size.  The corpus-total token
+    count is a 1-row broadcast (declared scalar pattern).  At 100 TB,
+    df-cap or broadcast the zipf head of both vocabularies."""
+    import pyspark.sql.functions as F
+
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    toks = staged.select(F.col(id_col), F.explode(w).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    total = toks.agg(F.count(F.lit(1)).alias("nt"))
+    bigrams = staged.filter(F.size(w) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.struct(
+                    F.element_at(w, (i + 1).cast("int")).alias("w1"),
+                    F.element_at(w, (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("_bg"),
+    ).select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    bic = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bigrams.join(bic, ["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c_w1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c_w2")), "w2")
+        .join(F.broadcast(total))
+    )
+    lp = F.log2(
+        F.lit(lam) * F.col("c2") / F.col("c_w1")
+        + F.lit(1.0 - lam) * F.col("c_w2") / F.col("nt")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(lp), 4).alias("avg_logp2"),
+    )

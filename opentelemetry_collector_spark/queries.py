@@ -1370,8 +1370,8 @@ def dedup_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact Jaccard verify gated to candidates.  Mirrors operators.dedup
 # minhash_signatures/lsh_candidate_pairs(mode='portable')/ngram_jaccard_pairs.
 _CORPUS_LSH_CTES = f"""
-    canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-    docs AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN canon USING (doc_id)),
+    canon AS (SELECT min(doc_id) AS doc_id FROM {{base}} GROUP BY md5(text)),
+    docs AS (SELECT d.doc_id, d.text, d.source FROM {{base}} d JOIN canon USING (doc_id)),
     words AS (SELECT doc_id, {{codes}} AS codes FROM docs),
     msh AS (
       SELECT doc_id, unnest(list_transform(range(1, greatest(len(codes)-1, 1)), i ->
@@ -1414,7 +1414,7 @@ _CORPUS_LSH_CTES = f"""
 
 @_q(
     "dedup_corpus_keep_lsh",
-    "WITH " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL) + """
+    "WITH " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL, base="documents") + """
     SELECT doc_id, source FROM docs
     WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM gated)
     """,
@@ -1444,7 +1444,7 @@ def dedup_corpus_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "dedup_corpus_keep_cc",
-    "WITH RECURSIVE " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL) + """
+    "WITH RECURSIVE " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL, base="documents") + """
     , e2 AS (
       SELECT id_a AS a, id_b AS b FROM gated
       UNION ALL SELECT id_b, id_a FROM gated),
@@ -1492,7 +1492,7 @@ def dedup_corpus_keep_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "dedup_corpus_recall",
-    "WITH " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL) + """
+    "WITH " + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL, base="documents") + """
     , truth AS (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
@@ -1532,6 +1532,190 @@ def dedup_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hit",
             F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
         )
+    )
+
+
+@_q(
+    "corpus_prep_e2e",
+    "WITH RECURSIVE bsh AS ("
+    """
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2])) AS h
+      FROM documents),
+    contam AS (
+      SELECT DISTINCT corpus_id AS doc_id FROM (
+        SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_shared
+        FROM bsh c JOIN bsh b ON c.h = b.h
+        WHERE c.doc_id >= 20 AND b.doc_id < 20
+        GROUP BY 1, 2)
+      WHERE n_shared >= 2),
+    cleanbase AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+    """
+    + _CORPUS_LSH_CTES.format(codes=_WORD_CODES_SQL, base="cleanbase")
+    + """
+    , e2 AS (
+      SELECT id_a AS a, id_b AS b FROM gated
+      UNION ALL SELECT id_b, id_a FROM gated),
+    n2 AS (SELECT DISTINCT a AS node FROM e2),
+    reach AS (
+      SELECT node, node AS comp FROM n2
+      UNION
+      SELECT e2.b AS node, r.comp FROM reach r JOIN e2 ON e2.a = r.node),
+    compo AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM compo WHERE node <> component),
+    kept AS (SELECT doc_id, text, source FROM docs
+             WHERE doc_id NOT IN (SELECT node FROM dropped)),
+    rw AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM kept),
+    rs AS (
+      SELECT doc_id, source, text, len(w) AS n_words,
+             CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS shg
+      FROM rw),
+    gatedq AS (
+      SELECT doc_id, source, text FROM rs
+      WHERE n_words >= 10
+        AND (CASE WHEN len(shg) > 0
+                  THEN ROUND(1.0 - CAST(len(list_distinct(shg)) AS DOUBLE) / len(shg), 4)
+                  ELSE 0.0 END) <= 0.3),
+    mc AS (SELECT source AS s, count(*) AS n FROM gatedq GROUP BY 1),
+    mtot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM mc),
+    thr AS (
+      SELECT s, LEAST(16384, (2048 * nt) // n) AS t
+      FROM mc, mtot WHERE s IN ('src0', 'src1', 'src2', 'src5')),
+    mixed AS (
+      SELECT g.doc_id, g.source, g.text FROM gatedq g
+      JOIN thr ON thr.s = g.source
+      WHERE ((g.doc_id % 100003) * 2654435761) % 16384 < thr.t),
+    splitd AS (
+      SELECT doc_id, source, text,
+             CASE WHEN b < 13107 THEN 'train'
+                  WHEN b < 14745 THEN 'val'
+                  WHEN b < 15564 THEN 'test'
+             END AS split
+      FROM (SELECT *, ((doc_id % 100003) * 2654435761) % 16384 AS b FROM mixed)
+      WHERE b < 15564),
+    pd AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, split, source,
+             CAST(((doc_id % 100003) * 2654435761) % 8 AS INTEGER) AS salt,
+             least(len(list_filter(string_split(text, ' '), x -> x <> '')), 512) AS ln
+      FROM splitd),
+    ordp AS (
+      SELECT *, row_number() OVER (PARTITION BY split, source, salt ORDER BY doc_id) AS rn
+      FROM pd),
+    walk AS (
+      SELECT split, source, salt, rn, ln, CAST(0 AS BIGINT) AS pack_id, ln AS acc
+      FROM ordp WHERE rn = 1
+      UNION ALL
+      SELECT o.split, o.source, o.salt, o.rn, o.ln,
+             CASE WHEN w.acc + o.ln > 512 AND w.acc > 0
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.acc + o.ln > 512 AND w.acc > 0
+                  THEN o.ln ELSE w.acc + o.ln END
+      FROM walk w
+      JOIN ordp o ON o.split = w.split AND o.source = w.source
+                 AND o.salt = w.salt AND o.rn = w.rn + 1),
+    packs AS (
+      SELECT split, source, salt, pack_id,
+             CAST(sum(ln) AS BIGINT) AS n_tok, count(*) AS n_docs
+      FROM walk GROUP BY 1, 2, 3, 4)
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tok,
+           ROUND(CAST(sum(n_tok) AS DOUBLE) / count(*) / 512, 4) AS avg_fill
+    FROM packs GROUP BY 1, 2
+    """,
+)
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM corpus-prep ladder as ONE composed, value-checked
+    query — the artifact a 100 TB pretraining-data run actually ships:
+
+    1. benchmark decontamination (≥2 shared 3-gram shingles vs the eval
+       split, bench shingles broadcast);
+    2. corpus clean, LSH-gated + transitive: exact dedup → minhash-LSH
+       candidates → df-capped exact-Jaccard verify → connected components
+       → keep the min-id member per near-dup cluster;
+    3. Gopher-style quality gates (n_words ≥ 10, dup-3-gram ratio ≤ 0.3);
+    4. deterministic mixture rebalance toward a uniform 4-source target
+       (≤ 50 % of the gated corpus, exact rational thresholds);
+    5. leak-proof hash split 80/10/5 (5 % held out);
+    6. greedy sample-packing into ≤512-token bins per (split, source,
+       salt) group.
+
+    Every stage is the same operator the standalone key checks; stages
+    share one persisted exact-dedup survivor frame, every join is an
+    equi-join sized by collisions/candidates, and the only .collect() is
+    the #strata mixture-count (config-sized).  The DuckDB oracle replays
+    the ENTIRE ladder including both recursive closures (components +
+    greedy pack walk).  Output: per (split, source) pack statistics."""
+    from .operators.components import connected_components
+    from .operators.dedup import (
+        contamination_pairs,
+        dedup_keep_canonical,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from .operators.packing import pack_sequences, packing_stats
+    from .operators.sampling import hash_split, mixture_sample
+    from .operators.textstats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    contam = (
+        contamination_pairs(corpus, bench, "doc_id", "text", n=3, min_shared=2, mode="raw")
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = corpus.join(contam, "doc_id", "left_anti")
+
+    surv = dedup_keep_canonical(clean, "doc_id", "text").persist()
+    sig = minhash_signatures(surv, "doc_id", "text", k=16, mode="portable")
+    cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=4, mode="portable")
+    pairs = ngram_jaccard_pairs(
+        surv, "doc_id", "text", n=3, threshold=0.5, mode="raw",
+        candidates=cand, max_df=64,
+    )
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = surv.join(drops, "doc_id", "left_anti")
+
+    rep = repetition_stats(kept, "doc_id", "text")
+    ok = rep.filter(
+        (F.col("n_words") >= 10) & (F.col("dup_3gram_ratio") <= 0.3)
+    ).select("doc_id")
+    gated = kept.join(ok, "doc_id", "left_semi")
+
+    w = {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src5": 0.25}
+    mixed = mixture_sample(gated, "source", "doc_id", w, total_fraction=0.5)
+    split = hash_split(
+        mixed, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05}
+    ).filter(F.col("split").isNotNull())
+
+    docs = split.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws("|", "split", "source").alias("grp"),
+        F.transform(
+            F.filter(F.split("text", " "), lambda x: x != F.lit("")),
+            lambda x: F.pmod(F.xxhash64(x), F.lit(50257)).cast("int"),
+        ).alias("tokens"),
+    )
+    packed = pack_sequences(
+        docs, max_len=512, salt_buckets=8, source_col="grp", salt_mode="portable"
+    )
+    stats = packing_stats(packed, max_len=512)
+    return stats.select(
+        F.substring_index("source", "|", 1).alias("split"),
+        F.substring_index("source", "|", -1).alias("source"),
+        "n_packs", "n_docs", "n_tok", "avg_fill",
     )
 
 
@@ -2593,6 +2777,45 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "text_bigram_logprob",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+    uni AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+      FROM t WHERE len(w) >= 2),
+    bg2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    bic AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY 1, 2),
+    sc AS (
+      SELECT g.doc_id,
+             log2(0.75 * CAST(bic.c2 AS DOUBLE) / u1.c1
+                  + 0.25 * CAST(u2.c1 AS DOUBLE) / nt.n) AS lp
+      FROM bg2 g
+      JOIN bic ON bic.w1 = g.w1 AND bic.w2 = g.w2
+      JOIN uni u1 ON u1.tok = g.w1
+      JOIN uni u2 ON u2.tok = g.w2
+      CROSS JOIN nt)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(avg(lp), 4) AS avg_logp2
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext interpolated bigram LM quality score (the honest offline
+    analog of CCNet's KenLM perplexity filter): per-doc mean log2 of
+    λ·p(w2|w1) + (1−λ)·p(w2), λ=0.75 (dyadic — engine-exact before the
+    round).  Catches templated boilerplate a unigram model can't tell from
+    shuffled-word noise.  Two extra hash aggregates + equi-joins over
+    (doc, bigram) rows — linear, no UDF; docs with < 2 tokens drop out."""
+    from .operators.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @_q(

@@ -170,12 +170,14 @@ def test_bucketed_join_is_shuffle_free(spark):
 
 # keys whose plans legitimately contain Python eval (Arrow kernels) or an
 # intentional non-equi pair join (brute-force baseline)
-_PYTHON_OK = {"mm_decode_features", "mm_resize", "pack_sequences"}
+_PYTHON_OK = {"mm_decode_features", "mm_resize", "pack_sequences", "corpus_prep_e2e"}
 _NESTED_LOOP_OK = {
     "ann_cosine_topk",        # brute-force baseline: broadcast queries × all vectors
     "dedup_embedding_recall",  # recall audit: all-pairs GROUND TRUTH side, small-SF only
     "dedup_corpus_recall",     # recall audit: 1-row × 1-row count crossJoin
     "text_unigram_logprob",    # corpus-total scalar: 1-row broadcast into scoring frame
+    "text_bigram_logprob",     # same 1-row corpus-total broadcast
+    "corpus_prep_e2e",         # ladder recall/scalar joins (1-row broadcast)
 }
 
 

@@ -110,3 +110,19 @@ def test_boilerplate_ratio_flags_shared_shingles(spark):
         assert out[i].n_boiler == 1
         assert abs(out[i].boiler_ratio - round(1 / 3, 4)) < 1e-9
     assert out[9].n_boiler == 0 and out[9].boiler_ratio == 0.0
+
+
+def test_bigram_logprob_hand_case(spark):
+    import math
+
+    from opentelemetry_collector_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b"), (3, "x")], "id long, text string")
+    out = {r["id"]: r for r in bigram_logprob(df, "id", "text").collect()}
+    # corpus: uni a:3 b:3 x:1, NT=7; bigrams (a,b):3 (b,a):1
+    p_ab = 0.75 * 3 / 3 + 0.25 * 3 / 7
+    p_ba = 0.75 * 1 / 3 + 0.25 * 3 / 7
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logp2"] == round((2 * math.log2(p_ab) + math.log2(p_ba)) / 3, 4)
+    assert out[2]["avg_logp2"] == round(math.log2(p_ab), 4)
+    assert 3 not in out  # single-token doc has no bigrams
