@@ -133,11 +133,28 @@ def generate_metric(
     yields NULL on a zero/absent denominator (the processor skips the data
     point rather than emitting ±Inf).  Returns only the generated series —
     unionByName it onto the input to mirror the processor's append."""
+    return _generate_metric_grouped(
+        df, [], [], name_col, value_col, dims, new_name, operand1, operand2, operation
+    )
+
+
+def _generate_metric_grouped(
+    df: DataFrame,
+    extra_group: list,
+    extra_names: list[str],
+    name_col: str,
+    value_col: str,
+    dims: list[str],
+    new_name: str,
+    operand1: str,
+    operand2: str,
+    operation: str,
+) -> DataFrame:
     ops = {"divide", "multiply", "add", "subtract"}
     if operation not in ops:
         raise ValueError(f"operation must be one of {sorted(ops)}")
     two = df.filter(F.col(name_col).isin([operand1, operand2]))
-    agg = two.groupBy(*[F.col(c) for c in dims]).agg(
+    agg = two.groupBy(*extra_group, *[F.col(c) for c in dims]).agg(
         F.sum(F.when(F.col(name_col) == operand1, F.col(value_col))).alias("_a"),
         F.sum(F.when(F.col(name_col) == operand2, F.col(value_col))).alias("_b"),
     )
@@ -149,9 +166,45 @@ def generate_metric(
         "subtract": a - b,
     }[operation]
     return agg.select(
+        *extra_names,
         *[F.col(c) for c in dims],
         F.lit(new_name).alias(name_col),
         F.round(val, 4).alias(value_col),
+    )
+
+
+def streaming_generate_metric(
+    stream: DataFrame,
+    name_col: str,
+    value_col: str,
+    dims: list[str],
+    new_name: str,
+    operand1: str,
+    operand2: str,
+    operation: str = "divide",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming metricsgeneration: the same conditional-sum derivation as
+    `generate_metric`, keyed by (event-time tumbling window, dims) with a
+    watermark bounding late data — append mode emits only finalized
+    windows, so a derived ratio is never published from a half-seen
+    denominator.  Per-batch plan is the identical partial+final hash
+    aggregate (no self-join, no pivot); state is one (window, dims) row
+    per open window, dropped at watermark passage."""
+    s = stream.withWatermark(ts_col, watermark)
+    return _generate_metric_grouped(
+        s,
+        [F.window(ts_col, window).alias("w")],
+        ["w"],
+        name_col,
+        value_col,
+        dims,
+        new_name,
+        operand1,
+        operand2,
+        operation,
     )
 
 

@@ -168,6 +168,13 @@ def spec_from_yaml(text: str) -> PipelineSpec:
             except ValueError as e:
                 raise ConfigError(str(e)) from e
         kwargs["drop_conditions"] = conds
+    if "group_by_attrs" in p:
+        # groupbyattrs processor analog: list of attribute columns promoted
+        # to the synthetic resource key
+        keys = list(p["group_by_attrs"] or [])
+        if not keys or not all(isinstance(k, str) and k for k in keys):
+            raise ConfigError("group_by_attrs must be a non-empty list of column names")
+        kwargs["group_by_attrs"] = keys
     return PipelineSpec(**kwargs)
 
 
@@ -230,4 +237,6 @@ def spec_to_yaml(spec: PipelineSpec) -> str:
         doc["pipeline"]["transform"] = list(spec.transform)
     if spec.drop_conditions:
         doc["pipeline"]["filters"] = list(spec.drop_conditions)
+    if spec.group_by_attrs:
+        doc["pipeline"]["group_by_attrs"] = list(spec.group_by_attrs)
     return yaml.safe_dump(doc, sort_keys=False)

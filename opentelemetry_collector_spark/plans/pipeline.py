@@ -72,6 +72,10 @@ class PipelineSpec:
     # transform: a record is dropped when ANY condition is true; NULL keeps
     # (error_mode: ignore).  Compiles to one filter — pushdown-friendly.
     drop_conditions: list[str] = field(default_factory=list)
+    # groupbyattrs processor analog: promote these attribute columns to a
+    # synthetic resource — records get a deterministic resource_id as a
+    # pure projection (no shuffle); applied after filters
+    group_by_attrs: list[str] = field(default_factory=list)
     # ONE partitionBy(sink) write instead of cache + N filtered writes —
     # the only mode that holds at 10^12 rows (no full-dataset cache copy).
     single_pass_fanout: bool = True
@@ -130,6 +134,10 @@ def run_pipeline(
         from ..operators.filters import filter_ottl_drop
 
         parsed = filter_ottl_drop(parsed, spec.drop_conditions)
+    if spec.group_by_attrs:
+        from ..operators.router import group_by_attrs as _gba
+
+        _, parsed = _gba(parsed, spec.group_by_attrs)
 
     # --- enrich (resource processor analog; broadcast hash join) ----------
     enriched = broadcast_enrich(parsed, lookup, on=spec.source_col, defaults=spec.lookup_defaults)

@@ -152,6 +152,13 @@ def run_stream_pipeline(
                 from ..operators.filters import filter_ottl_drop
 
                 df = filter_ottl_drop(df, spec.drop_conditions)
+            if spec.group_by_attrs:
+                # groupbyattrs parity in the stream: the record-side id is
+                # a pure projection, so per-micro-batch ids are IDENTICAL
+                # to the batch pipeline's (no cross-batch state needed)
+                from ..operators.router import group_by_attrs as _gba
+
+                _, df = _gba(df, spec.group_by_attrs)
         enriched = broadcast_enrich(df, lookup, on="source", defaults={"env": "unknown"})
         tagged = route_tag(enriched, routes)
         io.append_group_partitioned(tagged, "sink", sinks, f"q{stream_tag()}-batch{batch_id:08d}")

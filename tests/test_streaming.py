@@ -480,3 +480,106 @@ def test_stream_pipeline_applies_ottl_transform(spark, tmp_path, seq_dir):
     # OTTL drop condition (filterprocessor analog) ran in the micro-batch
     for sink in ("sink_hot", "sink_default"):
         assert io.read(spark, sink).filter(F.col("source") == "src3").count() == 0
+
+
+def test_streaming_generate_metric_matches_batch(spark, tmp_path):
+    """metricsgeneration streaming parity: the derived ratio per finalized
+    (window, dims) equals the batch derivation over the same rows."""
+    from opentelemetry_collector_spark.operators.metricsproc import (
+        generate_metric,
+        streaming_generate_metric,
+    )
+
+    d = str(tmp_path / "in")
+    ddl = "doc_id string, tokens array<int>, n_tok int, source string, ts timestamp, mname string, mval double"
+    for seed in (5, 6):
+        (
+            gen_sequences(spark, 200, seed=seed, partitions=1)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(180))
+                ),
+            )
+            .withColumn(
+                "mname",
+                F.when(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0, "usage").otherwise("limit"),
+            )
+            .withColumn("mval", (F.col("n_tok") + F.lit(1.0)))
+            .write.mode("append").parquet(d)
+        )
+    stream = read_stream_sequences(spark, d, ddl, max_files_per_trigger=1)
+    agg = streaming_generate_metric(
+        stream, "mname", "mval", ["source"], "utilization", "usage", "limit",
+        ts_col="ts", window="1 minute", watermark="1 minute",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("gen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w.start.isoformat(), r.source): r.mval
+        for r in spark.sql("SELECT * FROM gen_stream").collect()
+    }
+    assert got  # the second file advances the watermark past window 1
+
+    batch = spark.read.parquet(d)
+    want_df = generate_metric(
+        batch.withColumn("w0", F.window("ts", "1 minute")),
+        "mname", "mval", ["w0", "source"], "utilization", "usage", "limit",
+    )
+    want = {(r.w0.start.isoformat(), r.source): r.mval for r in want_df.collect()}
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_stream_group_by_attrs_matches_batch(spark, tmp_path, seq_dir):
+    """groupbyattrs streaming parity: per-record resource ids attached in
+    the micro-batch equal the batch pipeline's (pure projection — no
+    cross-batch state)."""
+    from opentelemetry_collector_spark.plans.config import spec_from_yaml
+    from opentelemetry_collector_spark.plans.pipeline import run_pipeline
+    from opentelemetry_collector_spark.sources.tableio import ParquetSnapshotIO
+
+    yaml_txt = """
+pipeline:
+  raw_col: raw
+  routes:
+    - {sink: sink_hot, predicate: "source = 'src0'", priority: 0}
+    - {sink: sink_default, predicate: "TRUE", priority: 9}
+  group_by_attrs: [source]
+"""
+    spec = spec_from_yaml(yaml_txt)
+    assert spec.group_by_attrs == ["source"]
+    from opentelemetry_collector_spark.plans.config import spec_to_yaml
+    assert spec_from_yaml(spec_to_yaml(spec)).group_by_attrs == ["source"]
+
+    sink_root = str(tmp_path / "sinks")
+    q = run_stream_pipeline(
+        spark, seq_dir, gen_lookup(spark), spec.routes, sink_root,
+        str(tmp_path / "ckpt"), spec=spec,
+    )
+    q.awaitTermination(120)
+    io = ParquetSnapshotIO(root=sink_root)
+    streamed = io.read(spark, "sink_hot").unionByName(io.read(spark, "sink_default"))
+    assert "resource_id" in streamed.columns
+
+    batch = run_pipeline(
+        spark, spark.read.parquet(seq_dir), gen_lookup(spark), spec=spec
+    )["tagged"]
+    # doc_ids repeat across the two source files (different sources), so
+    # compare the (doc_id, source, resource_id) multiset, not a dict
+    got = sorted(
+        (r.doc_id, r.source, r.resource_id)
+        for r in streamed.select("doc_id", "source", "resource_id").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.source, r.resource_id)
+        for r in batch.select("doc_id", "source", "resource_id").collect()
+    )
+    assert got == want
