@@ -3143,48 +3143,65 @@ def route_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
-# insertion order (observed r01+r02: both CORRECTNESS files are exactly
-# QUERIES[:50] in registration order).  With >50 keys the tail never gets a
-# driver row, so each round rotates keys lacking a driver-green row from a
-# prior round to the FRONT.  Round-3 front block = the 18 keys positions
-# 50-67 last round (no r02 row) + keys new this round; the tail keys all
-# carry green rows in CORRECTNESS_r02.json, so r02 ∪ r03 covers every key.
+# insertion order, so each round rotates to the front: (a) keys with no
+# driver-green row yet, (b) keys whose OPERATOR or ORACLE changed since
+# their last green row, (c) round-N new keys, then (d) re-confirmations of
+# last round's green keys.  r02 ∪ r03 ∪ r04 keeps every key covered by a
+# driver row that postdates its last change (mapping documented in README).
+#
+# Round-4 front block (50): never-green chunk_token_stream (reshaped this
+# round); join_asof/relabel_chain/dedup_ngram_jaccard (edited r03, green
+# only in r02); the r04 new keys (corpus_prep_e2e, transform_ottl_parse,
+# text_bigram_logprob); keys whose code or oracle changed this round
+# (group_by_attrs id framing, hist_exponential rounding, sample_epoch_shuffle
+# bucketing, OTTL-compiled keys, metrics_generation refactor, packing keys);
+# then r03-green re-confirmations.
 _DRIVER_PRIORITY = [
-    # never driver-tested (r02 positions 50-67)
+    # (a) never driver-green — reshaped to scalar chunk_id/chunk_md5 this round
+    "chunk_token_stream",
+    # (b) edited round 3, driver-green only in r02 (VERDICT r3 task 2)
+    "join_asof",
+    "relabel_chain",
+    "dedup_ngram_jaccard",
+    # (c) new round 4
+    "corpus_prep_e2e",
+    "transform_ottl_parse",
+    "text_bigram_logprob",
+    # (b) operator or oracle changed round 4
+    "group_by_attrs",
+    "hist_exponential",
+    "sample_epoch_shuffle",
+    "transform_ottl",
+    "filter_ottl",
+    "route_ottl",
+    "metrics_generation",
+    "pack_sequences",
+    "token_freq_topk",
+    # (d) r03-green re-confirmations, heaviest/most-composed first
+    "dedup_corpus_keep_lsh",
+    "dedup_corpus_keep_cc",
+    "dedup_corpus_recall",
+    "dedup_corpus_keep",
+    "dedup_components",
+    "tail_sample_policies",
     "dedup_embedding_cosine",
     "dedup_embedding_recall",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_refined",
     "mm_media_stats",
     "mm_frame_sample",
-    "mm_decode_features",
     "mm_resize",
     "resume_ledger",
-    "metrics_lineage",
     "stream_tumbling_counts",
     "win_sliding_counts",
-    "token_freq_topk",
-    "pack_sequences",
-    "chunk_token_stream",
     "session_window_agg",
     "len_quantiles_by_source",
-    # r02-green keys whose operators changed this round — re-confirm early
-    "dedup_corpus_keep",
-    # (join_asof, relabel_chain, dedup_ngram_jaccard also changed this round
-    # but carry r02-green rows + local replica passes, and their fixes are
-    # latent edge cases the keyed queries don't exercise — bumped from the
-    # 50-key window in favor of the never-tested keys below)
-    # new this round — never driver-tested
-    "dedup_corpus_keep_lsh",
-    "dedup_corpus_recall",
-    "ann_ivf_refined",
-    "dedup_components",
     "sample_stratified",
     "sample_mixture",
-    "text_repetition",
-    "dedup_corpus_keep_cc",
     "sample_split",
+    "text_repetition",
     "attr_redact_pii",
     "span_metrics_red",
     "metrics_transform",
@@ -3196,17 +3213,9 @@ _DRIVER_PRIORITY = [
     "agg_approx_quantile_audit",
     "text_unigram_logprob",
     "text_boilerplate_ratio",
-    "transform_ottl",
-    "hist_exponential",
     "log_recombine_multiline",
     "log_severity_map",
     "log_dedup_interval",
-    "sample_epoch_shuffle",
-    "filter_ottl",
-    "route_ottl",
-    "tail_sample_policies",
-    "metrics_generation",
-    "group_by_attrs",
 ]
 
 
