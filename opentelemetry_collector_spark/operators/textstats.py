@@ -301,3 +301,36 @@ def bigram_logprob(df, id_col: str, text_col: str, lam: float = 0.75):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg(lp), 4).alias("avg_logp2"),
     )
+
+
+def ccnet_buckets(df, id_col: str, text_col: str, lang_col: str = "lang", lam: float = 0.75):
+    """CCNet head/middle/tail quality buckets (Wenzek et al. 2020, public):
+    score every doc with the interpolated bigram LM (:func:`bigram_logprob`),
+    then split each LANGUAGE into score tertiles — 'head' = most probable
+    under the corpus LM (cleanest), 'tail' = least.  CCNet keeps head+middle
+    for pretraining; the bucket column is the knob.
+
+    Thresholds are exact per-language percentiles of the ROUNDED score,
+    themselves rounded to 4 decimals, so an independent engine running the
+    same linear-interpolation quantile reproduces the assignment.  Plan:
+    the bigram-score ladder + one #languages-row aggregate broadcast back —
+    one extra narrow join over (doc, lang, score) rows."""
+    import pyspark.sql.functions as F
+
+    scored = bigram_logprob(df, id_col, text_col, lam=lam).join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    thr = scored.groupBy(lang_col).agg(
+        F.round(F.percentile("avg_logp2", F.lit(1.0 / 3.0)), 4).alias("_t1"),
+        F.round(F.percentile("avg_logp2", F.lit(2.0 / 3.0)), 4).alias("_t2"),
+    )
+    s = F.col("avg_logp2")
+    bucket = (
+        F.when(s >= F.col("_t2"), "head")
+        .when(s >= F.col("_t1"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(thr), lang_col)
+        .select(F.col(id_col), F.col(lang_col), s.alias("avg_logp2"), bucket.alias("bucket"))
+    )

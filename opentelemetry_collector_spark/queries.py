@@ -2819,6 +2819,56 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_ccnet_buckets",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+    uni AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+      FROM t WHERE len(w) >= 2),
+    bg2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    bic AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY 1, 2),
+    sc AS (
+      SELECT g.doc_id,
+             log2(0.75 * CAST(bic.c2 AS DOUBLE) / u1.c1
+                  + 0.25 * CAST(u2.c1 AS DOUBLE) / nt.n) AS lp
+      FROM bg2 g
+      JOIN bic ON bic.w1 = g.w1 AND bic.w2 = g.w2
+      JOIN uni u1 ON u1.tok = g.w1
+      JOIN uni u2 ON u2.tok = g.w2
+      CROSS JOIN nt),
+    scored AS (
+      SELECT s.doc_id, d.lang, ROUND(avg(s.lp), 4) AS avg_logp2
+      FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY 1, 2),
+    thr AS (
+      SELECT lang,
+             ROUND(quantile_cont(avg_logp2, 1.0/3.0), 4) AS t1,
+             ROUND(quantile_cont(avg_logp2, 2.0/3.0), 4) AS t2
+      FROM scored GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.avg_logp2,
+           CASE WHEN s.avg_logp2 >= t.t2 THEN 'head'
+                WHEN s.avg_logp2 >= t.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN thr t USING (lang)
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext CCNet head/middle/tail buckets: per-language score tertiles
+    under the corpus's own interpolated bigram LM — the percentile-band
+    quality cut CCNet applies before pretraining (keep head+middle).
+    Thresholds are exact linear-interpolation percentiles of the rounded
+    score, rounded again on both engines; assignment is one #languages-row
+    broadcast join over the scoring frame."""
+    from .operators.textstats import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
     "text_boilerplate_ratio",
     """
     WITH sh AS (
@@ -3167,6 +3217,7 @@ _DRIVER_PRIORITY = [
     "corpus_prep_e2e",
     "transform_ottl_parse",
     "text_bigram_logprob",
+    "text_ccnet_buckets",
     # (b) operator or oracle changed round 4
     "group_by_attrs",
     "hist_exponential",

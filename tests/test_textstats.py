@@ -126,3 +126,23 @@ def test_bigram_logprob_hand_case(spark):
     assert out[1]["avg_logp2"] == round((2 * math.log2(p_ab) + math.log2(p_ba)) / 3, 4)
     assert out[2]["avg_logp2"] == round(math.log2(p_ab), 4)
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_ccnet_buckets_tertiles_per_lang(spark):
+    from opentelemetry_collector_spark.operators.textstats import ccnet_buckets
+
+    rows = [(i, " ".join(f"w{j % (2 + i % 7)}" for j in range(30)), "en" if i % 2 else "fr")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    out = ccnet_buckets(df, "id", "text").collect()
+    assert len(out) == 30
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        got = {b: sum(1 for r in rs if r["bucket"] == b) for b in ("head", "middle", "tail")}
+        # roughly a third each (ties may shift counts, never invert order)
+        assert all(got[b] >= 1 for b in got)
+        hs = [r["avg_logp2"] for r in rs if r["bucket"] == "head"]
+        ts = [r["avg_logp2"] for r in rs if r["bucket"] == "tail"]
+        assert min(hs) >= max(ts)  # head scores dominate tail scores
