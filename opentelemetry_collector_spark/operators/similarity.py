@@ -11,6 +11,7 @@ would win, but at 64-dim the codegen path is faster than Arrow round-trips.
 
 from __future__ import annotations
 
+import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -528,4 +529,117 @@ def embedding_neardup_pairs(
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-side ANN scale path
+# --------------------------------------------------------------------------
+
+def _pq_cvecs(cb: list[list[float]]) -> Column:
+    """Codebook entries as one literal array<array<double>> column."""
+    return F.array(
+        *[F.lit(np.asarray([float(x) for x in cj], dtype=np.float64)) for cj in cb]
+    )
+
+
+def _pq_int_dists(vec: Column, m: int, sub_dim: int, cb: list[list[float]]) -> Column:
+    """array<long>: integer-quantized squared L2 from this vector's m-th
+    sub-vector to every codebook entry.  round(d·10^6) as int64 — exact
+    integer arithmetic downstream, so argmin/sum order can never flip a
+    cross-engine comparison (same trick as the IVF Lloyd refinement)."""
+    sub = F.slice(vec, m * sub_dim + 1, sub_dim)
+    return F.transform(
+        _pq_cvecs(cb),
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("long"),
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding (Jégou et al. 2011, public): split the vector into
+    len(codebooks) sub-spaces and store only the argmin-L2 codebook index
+    per sub-space — D floats compress to M small ints, the representation
+    that keeps a billion-vector index in memory.
+
+    ``codebooks[m][j]`` is config-sized (like the IVF centroid list) and
+    compiles into the projection as literal arrays: encoding is ONE
+    codegen pass, no join, no UDF.  Ties break to the smallest index via
+    array_min over (dist, j) structs.  Returns (id, codes array<int>)."""
+    best = [
+        F.array_min(
+            F.transform(
+                _pq_int_dists(F.col(vec_col), m, sub_dim, cb),
+                lambda d, j: F.struct(d.alias("d"), j.alias("j")),
+            )
+        )["j"].cast("int")
+        for m, cb in enumerate(codebooks)
+    ]
+    return vectors.select(F.col(id_col), F.array(*best).alias("codes"))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    sub_dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries stay exact, database vectors
+    are scored through their codes via a per-query lookup table —
+    approx_d(q, v) = Σ_m LUT_q[m][code_m(v)].
+
+    Plan: encode is one projection; the LUT ((#queries · M · K) rows —
+    config-sized) broadcasts into an equi-join on (m, code) against the
+    exploded codes, then one hash aggregate sums the M partial distances
+    per (query, vector).  Rows shuffled ≈ N·M ints — never a vector — which
+    is exactly why PQ is the 100 TB memory path.  Distances are integer-
+    quantized (round(d·10^6)) so the sum is order-exact across engines."""
+    from pyspark.sql import Window
+
+    enc = pq_encode(vectors, codebooks, sub_dim, id_col=id_col, vec_col=vec_col)
+    vc = enc.select(F.col(id_col), F.posexplode("codes").alias("m", "code"))
+    lut_structs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            _pq_int_dists(F.col(vec_col), m, sub_dim, cb).alias("ds"),
+        )
+        for m, cb in enumerate(codebooks)
+    ]
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.explode(F.array(*lut_structs)).alias("s")
+        )
+        .select("query_id", F.col("s.m").alias("m"), F.posexplode("s.ds").alias("code", "d"))
+    )
+    scored = (
+        vc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("d").alias("_di"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_di").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_di") / F.lit(1000000.0), 4).alias("adist"),
+        )
     )

@@ -2097,6 +2097,66 @@ def ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(v, q, refined, k=5)
 
 
+@_q(
+    "ann_pq_topk",
+    """
+    WITH ms AS (SELECT unnest(range(0, 8)) AS m),
+    cb AS (
+      SELECT ms.m, e.vec_id AS j,
+             list_transform(range(1, 9),
+                 t -> CAST(e.embedding[ms.m * 8 + t] AS DOUBLE)) AS c
+      FROM embeddings e, ms WHERE e.vec_id < 16),
+    sub AS (
+      SELECT v.vec_id, ms.m,
+             list_transform(range(1, 9),
+                 t -> CAST(v.embedding[ms.m * 8 + t] AS DOUBLE)) AS s
+      FROM embeddings v, ms),
+    d AS (
+      SELECT sub.vec_id, sub.m, cb.j,
+             CAST(round(list_sum(list_transform(range(1, 9),
+                 t -> (s[t] - c[t]) * (s[t] - c[t]))) * 1000000, 0) AS BIGINT) AS di
+      FROM sub JOIN cb ON cb.m = sub.m),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY di ASC, j ASC) AS rn
+        FROM d) WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, m, j, di FROM d WHERE vec_id < 3),
+    scored AS (
+      SELECT lut.query_id, codes.vec_id AS neighbor_id,
+             ROUND(CAST(sum(lut.di) AS DOUBLE) / 1000000, 4) AS adist
+      FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.code
+      WHERE codes.vec_id <> lut.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist ASC, neighbor_id ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN (Jégou et al. 2011) — the memory-side
+    scale path beside IVF and sign-LSH: 64-dim vectors encode to 8 one-byte
+    codes (8 sub-spaces × 16-entry codebooks, seed entries = first 16
+    vectors' sub-vectors; production would k-means-refine per sub-space —
+    identical plumbing to ann_ivf_refined).  Queries stay exact and score
+    database vectors through a broadcast (query, m, code) lookup table;
+    distances are integer-quantized so argmin and the M-term sum are
+    order-exact across engines, and the oracle replays encode → LUT →
+    ADC-scoring → rank entirely in SQL."""
+    from .operators.similarity import pq_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    cb_rows = v.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    cb_rows.sort(key=lambda r: int(r["vec_id"]))
+    codebooks = [
+        [[float(x) for x in r["embedding"][m * 8:(m + 1) * 8]] for r in cb_rows]
+        for m in range(8)
+    ]
+    q = v.filter(F.col("vec_id") < 3)
+    return pq_topk(v, q, codebooks, sub_dim=8, k=5)
+
+
 @_q("ann_lsh_bucketed", None)
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketing (the ANN scale path: rank within bucket)."""
@@ -3218,6 +3278,7 @@ _DRIVER_PRIORITY = [
     "transform_ottl_parse",
     "text_bigram_logprob",
     "text_ccnet_buckets",
+    "ann_pq_topk",
     # (b) operator or oracle changed round 4
     "group_by_attrs",
     "hist_exponential",

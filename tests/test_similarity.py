@@ -196,3 +196,46 @@ def test_kmeans_refine_is_deterministic_under_parallelism(spark, vectors):
     a = kmeans_refine(vectors.coalesce(1), seeds, iters=2)
     b = kmeans_refine(vectors.repartition(16), seeds, iters=2)
     assert a == b  # bit-for-bit, not approximately
+
+
+def test_pq_topk_matches_numpy_reference(spark):
+    """PQ encode + ADC scoring against a direct numpy replay."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.operators.similarity import pq_encode, pq_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+    M, sub, K = 4, 4, 8
+    codebooks = [
+        [[float(x) for x in vecs[j, m * sub:(m + 1) * sub]] for j in range(K)]
+        for m in range(M)
+    ]
+
+    def int_d(a, b):
+        acc = 0.0
+        for x, y in zip(a.astype(np.float64), np.asarray(b, dtype=np.float64)):
+            acc += (x - y) * (x - y)
+        return round(acc * 1e6)
+
+    codes_ref = {
+        i: [min(range(K), key=lambda j: (int_d(vecs[i, m * sub:(m + 1) * sub], codebooks[m][j]), j))
+            for m in range(M)]
+        for i in range(40)
+    }
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, codebooks, sub).collect()}
+    assert got_codes == codes_ref
+
+    q = df.filter("vec_id < 2")
+    got = {(r.query_id, r.neighbor_id): r.adist for r in pq_topk(df, q, codebooks, sub, k=3).collect()}
+    for qid in (0, 1):
+        dists = {
+            n: sum(int_d(vecs[qid, m * sub:(m + 1) * sub], codebooks[m][codes_ref[n][m]])
+                   for m in range(M))
+            for n in range(40) if n != qid
+        }
+        top = sorted(dists, key=lambda n: (dists[n], n))[:3]
+        for n in top:
+            assert got[(qid, n)] == round(dists[n] / 1e6, 4)
