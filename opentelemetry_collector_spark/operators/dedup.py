@@ -245,19 +245,23 @@ def contamination_pairs(
 
     Scale shape: the benchmark side is small by definition — its distinct
     shingles broadcast, so the corpus side streams through one codegen pass
-    and only (corpus_id, bench_id) hits reach the counting shuffle.  This
-    is containment (shared-shingle count), deliberately NOT Jaccard: a
+    and the broadcast join FILTERS BEFORE the distinct: only shingles that
+    actually hit a benchmark shingle reach any shuffle (the set-semantics
+    dedup runs over hits, not over the corpus — deduping the whole corpus
+    shingle stream first would shuffle every (doc, shingle) string at
+    100 TB for a filter that discards almost all of them).  This is
+    containment (shared-shingle count), deliberately NOT Jaccard: a
     50-token benchmark question inside a 10k-token document has tiny
     Jaccard but is still contamination."""
-    c_sh = shingle_hashes(corpus, id_col, text_col, n=n, mode=mode).distinct()
+    c_sh = shingle_hashes(corpus, id_col, text_col, n=n, mode=mode)
     b_sh = (
         shingle_hashes(benchmark, id_col, text_col, n=n, mode=mode)
         .distinct()
         .select(F.col("id").alias("bench_id"), "h")
     )
+    hits = c_sh.join(F.broadcast(b_sh), on="h").distinct()  # set semantics on HITS
     return (
-        c_sh.join(F.broadcast(b_sh), on="h")
-        .groupBy(F.col("id").alias("corpus_id"), "bench_id")
+        hits.groupBy(F.col("id").alias("corpus_id"), "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

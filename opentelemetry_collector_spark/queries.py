@@ -3289,6 +3289,7 @@ _DRIVER_PRIORITY = [
     "metrics_generation",
     "pack_sequences",
     "token_freq_topk",
+    "text_contamination",
     # (d) r03-green re-confirmations, heaviest/most-composed first
     "dedup_corpus_keep_lsh",
     "dedup_corpus_keep_cc",
