@@ -393,3 +393,78 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN exposure (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", public): per document, how
+    many of its tokens sit inside a run of ≥ *k* consecutive words that also
+    appears verbatim in ≥ *min_df* distinct documents — the substring-level
+    signal document-level MinHash misses (a unique page wrapping a copied
+    license block or boilerplate footer).
+
+    Plan, all built-ins:
+    1. every k-word window → md5 digest + its position (one staged split +
+       posexplode: one row per token, linear);
+    2. cross-doc window df = one hash aggregate over distinct (doc, digest);
+    3. duplicated positions re-join on the digest, then per doc the covered
+       token count is an exact interval-union fold over the SORTED position
+       list (aggregate with a (total, prev_end) struct accumulator — pure
+       codegen, no UDF).
+    Shuffles carry (doc, digest) / (digest) rows only.  At 100 TB swap the
+    md5 for xxhash64 (engine-native) and df-cap the digest table's zipf head
+    exactly like the shingle verify.  Docs shorter than k words report 0.
+
+    Returns (id, n_words, dup_tokens, dup_span_ratio)."""
+    staged = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    windows = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.md5(F.array_join(F.slice(w, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = staged.select("id", F.size(w).alias("n_words"), windows.alias("_sh"))
+    pos_h = base.select("id", F.posexplode("_sh").alias("pos", "h"))
+    dup_h = (
+        pos_h.select("id", "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("h")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("t"), F.lit(-(k + 1)).cast("long").alias("e")
+    )
+    covered = (
+        pos_h.join(dup_h, "h")
+        .groupBy("id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("pos").cast("long"))),
+                init,
+                lambda acc, p: F.struct(
+                    (acc["t"] + k - F.greatest(F.lit(0).cast("long"), acc["e"] - p)).alias("t"),
+                    (p + k).alias("e"),
+                ),
+            )["t"].alias("dup_tokens")
+        )
+    )
+    return (
+        base.select("id", "n_words")
+        .join(covered, "id", "left")
+        .select(
+            F.col("id"),
+            "n_words",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_words", F.lit(1)), 4
+            ).alias("dup_span_ratio"),
+        )
+    )

@@ -1325,6 +1325,48 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_dup_spans",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+          i -> {'pos': i, 'h': md5(array_to_string(w[i:i+7], ' '))})) AS p
+      FROM t WHERE len(w) >= 8),
+    sh2 AS (SELECT doc_id, p.pos AS pos, p.h AS h FROM sh),
+    dup AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh2)
+      GROUP BY h HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id,
+             (list_reduce(
+                list_prepend({'t': CAST(0 AS BIGINT), 'e': CAST(-9 AS BIGINT)},
+                  list_transform(list_sort(list(pos)),
+                                 p -> {'t': CAST(p AS BIGINT), 'e': CAST(0 AS BIGINT)})),
+                (acc, x) -> {'t': acc.t + 8 - greatest(0, acc.e - x.t),
+                             'e': x.t + 8})).t AS dup_tokens
+      FROM sh2 JOIN dup USING (h) GROUP BY doc_id)
+    SELECT t.doc_id, len(t.w) AS n_words,
+           COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+           ROUND(CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE)
+                 / greatest(len(t.w), 1), 4) AS dup_span_ratio
+    FROM t LEFT JOIN cov USING (doc_id)
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder ext: exact duplicate-SPAN exposure (Lee et al. 2021
+    substring dedup signal) — per doc, the tokens covered by ≥8-word runs
+    appearing verbatim in ≥2 distinct documents.  Window digests + one df
+    aggregate + an exact interval-union fold over sorted positions (struct
+    accumulator, pure codegen); the oracle replays windows, df, and the
+    fold in SQL."""
+    from .operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_df=2
+    ).withColumnRenamed("id", "doc_id")
+
+
+@_q(
     "dedup_corpus_keep",
     """
     WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -3279,6 +3321,7 @@ _DRIVER_PRIORITY = [
     "text_bigram_logprob",
     "text_ccnet_buckets",
     "ann_pq_topk",
+    "text_dup_spans",
     # (b) operator or oracle changed round 4
     "group_by_attrs",
     "hist_exponential",

@@ -231,3 +231,31 @@ def test_portable_lsh_buckets_match_native_pairs(spark, docs):
     nat = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, 4, 4, mode="native").collect()}
     por = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, 4, 4, mode="portable").collect()}
     assert nat == por and len(por) > 0
+
+
+def test_duplicate_span_stats_interval_union(spark):
+    """Overlapping duplicated windows must be merged exactly (interval-union
+    fold), internal self-repeats must NOT count (df is over distinct docs),
+    and docs shorter than k report 0 rather than crash."""
+    from opentelemetry_collector_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),          # shares the 5-word run a..e with 2
+            (2, "q a b c d e r s"),
+            (3, "u v w m n o p t"),          # unique
+            (4, "a b"),                      # shorter than k
+            (5, "foo bar baz foo bar baz foo bar"),  # self-repeat only
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.id: r for r in duplicate_span_stats(df, "doc_id", "text", k=3).collect()}
+    # doc 1: dup windows at pos 0,1,2 (a b c / b c d / c d e) → union [0,5) = 5
+    assert out[1].dup_tokens == 5 and abs(out[1].dup_span_ratio - 0.625) < 1e-9
+    # doc 2: dup windows at pos 1,2,3 → union [1,6) = 5
+    assert out[2].dup_tokens == 5 and out[2].n_words == 8
+    assert out[3].dup_tokens == 0
+    assert out[4].dup_tokens == 0 and out[4].n_words == 2
+    # window df counts DISTINCT docs: repeating a phrase inside one doc is not
+    # cross-corpus duplication
+    assert out[5].dup_tokens == 0
