@@ -82,6 +82,9 @@ HEADLINE = [
     "corpus_prep_e2e",
     "text_bigram_logprob",
     "transform_ottl_parse",
+    "text_dup_spans",
+    "sample_token_budget",
+    "bpe_pair_topk",
 ]
 
 

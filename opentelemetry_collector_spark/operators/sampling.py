@@ -286,3 +286,44 @@ def hash_split(
     for name, ub in reversed(bounds):
         expr = F.when(bucket < F.lit(ub), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Per-stratum token-budget curation (engine extension): within each
+    stratum (source), keep the prefix of documents — in deterministic
+    portable-hash order — whose cumulative weight (token count) stays within
+    ``budget``.  This is how fixed-token-count pretraining mixes are actually
+    cut ("2B tokens of src0, 1B of src1, …"): a take-while over a hash-
+    shuffled stream, not a per-doc Bernoulli rate, so the budget is hit
+    exactly (to within one document) instead of in expectation.
+
+    Keep rule: inclusive per-stratum running sum ≤ budget.  The order
+    (bucket(id), id) is a pure function of the id — reruns, engines, and
+    cluster sizes all cut the same prefix, and growing OTHER strata never
+    changes this stratum's kept set.
+
+    Plan — the 100 TB shape: ONE two-phase global prefix sum over the order
+    (stratum, bucket, id) (``packing._global_prefix_sum``: range-repartition
+    + per-partition totals + broadcast offsets — never a per-stratum
+    one-partition Window funnel, which is the naive form's scale-killer),
+    then per-stratum start offsets come from a #strata-row aggregate
+    broadcast back.  Total cost: one range shuffle + two config-sized
+    broadcasts, regardless of how skewed the strata are."""
+    from .packing import _global_prefix_sum
+
+    base = df.withColumn("_bk", portable_bucket(F.col(id_col), NUM_SAMPLER_BUCKETS))
+    pre = _global_prefix_sum(base, [strata_col, "_bk", id_col], weight_col, "_goff")
+    starts = pre.groupBy(strata_col).agg(F.min("_goff").alias("_s0"))
+    return (
+        pre.join(F.broadcast(starts), strata_col)
+        .withColumn(cum_col, F.col("_goff") - F.col("_s0") + F.col(weight_col))
+        .filter(F.col(cum_col) <= F.lit(int(budget)))
+        .drop("_bk", "_goff", "_s0")
+    )

@@ -574,6 +574,63 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_token_budget",
+    """
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             ((doc_id % 100003) * 2654435761) % 16384 AS bk
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY bk, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+      FROM b)
+    SELECT doc_id, source, n_chars, cum_weight FROM c WHERE cum_weight <= 4000
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation: keep, per source, the prefix of
+    docs in deterministic portable-hash order whose cumulative size fits a
+    4000-char budget — the "N tokens per source" cut of a pretraining mix,
+    hit exactly (to one doc) rather than in expectation.  One two-phase
+    global prefix sum (range shuffle + broadcast offsets — never a
+    per-source one-partition Window); the oracle replays the same running
+    sum with a SQL window."""
+    from .operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return token_budget_sample(d, "source", "doc_id", "n_chars", 4000).select(
+        "doc_id", "source", "n_chars", F.col("cum_weight").cast("long").alias("cum_weight")
+    )
+
+
+@_q(
+    "bpe_pair_topk",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    p AS (SELECT unnest(list_transform(range(1, len(w)),
+                                       i -> {'w1': w[i], 'w2': w[i+1]})) AS pr
+          FROM t WHERE len(w) >= 2),
+    c AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS cnt FROM p GROUP BY 1, 2)
+    SELECT w1, w2, cnt FROM c ORDER BY cnt DESC, w1, w2 LIMIT 20
+    """,
+)
+def bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support: the BPE merge-candidate statistic
+    (Sennrich et al. 2016) — corpus-wide adjacent word-pair frequencies,
+    top 20 with a deterministic (cnt desc, pair lexicographic) tie-break so
+    both engines cut the same boundary.  One transform+explode and one hash
+    aggregate; the shuffle is vocabulary-sized after map-side combine.  The
+    iterative learn/apply loop lives in operators.bpe (pytest parity vs a
+    pure-Python reference)."""
+    from .operators.bpe import pair_counts, top_merges
+    from .operators.textstats import words
+
+    arrs = _t(spark, sf_dir, "documents").select(words(F.col("text")).alias("toks"))
+    return top_merges(pair_counts(arrs, "toks"), 20)
+
+
+@_q(
     "tail_sample_semi_join",
     """
     SELECT e.event_id, e.user_id, e.event_type, ROUND(e.value, 4) AS value
@@ -3322,6 +3379,8 @@ _DRIVER_PRIORITY = [
     "text_ccnet_buckets",
     "ann_pq_topk",
     "text_dup_spans",
+    "sample_token_budget",
+    "bpe_pair_topk",
     # (b) operator or oracle changed round 4
     "group_by_attrs",
     "hist_exponential",

@@ -270,3 +270,45 @@ def test_hash_split_rejects_oversubscribed_fractions(spark):
 
     with pytest.raises(ValueError, match="> 1"):
         hash_split(spark.range(10), "id", {"a": 0.7, "b": 0.5})
+
+
+def test_token_budget_sample_cuts_exact_prefix_per_stratum(spark):
+    """Kept set = the hash-ordered prefix whose inclusive cumsum fits the
+    budget, independently per stratum; never exceeds the budget; and is
+    identical at different parallelism (two-phase prefix sum, not a
+    partition-order accident)."""
+    from opentelemetry_collector_spark.functions.hashing import (
+        NUM_SAMPLER_BUCKETS,
+    )
+    from opentelemetry_collector_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "s%d" % (i % 3), 10 + (i * 7) % 50) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, src string, w long")
+    out = token_budget_sample(df, "src", "id", "w", budget=120)
+    got = {r.id: r.cum_weight for r in out.collect()}
+
+    # python reference: per stratum, sort by (bucket, id), take-while <= 120
+    def bucket(i):
+        return ((i % 100003) * 2654435761) % NUM_SAMPLER_BUCKETS
+
+    expect = {}
+    for s in ("s0", "s1", "s2"):
+        cum = 0
+        for i, _, w in sorted(
+            (r for r in rows if r[1] == s), key=lambda r: (bucket(r[0]), r[0])
+        ):
+            cum += w
+            if cum > 120:
+                break
+            expect[i] = cum
+    assert got == expect
+    # same cut regardless of input partitioning
+    got4 = {
+        r.id: r.cum_weight
+        for r in token_budget_sample(
+            df.repartition(13), "src", "id", "w", budget=120
+        ).collect()
+    }
+    assert got4 == expect
