@@ -85,6 +85,7 @@ HEADLINE = [
     "text_dup_spans",
     "sample_token_budget",
     "bpe_pair_topk",
+    "sample_epoch_replicate",
 ]
 
 

@@ -327,3 +327,53 @@ def token_budget_sample(
         .filter(F.col(cum_col) <= F.lit(int(budget)))
         .drop("_bk", "_goff", "_s0")
     )
+
+
+def epoch_replicate(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional-epoch UPsampling (engine extension): emit
+    each row ``weights[stratum]`` times in expectation — floor(w) whole
+    copies plus one extra iff the row's portable id-bucket clears the
+    fractional remainder — with an ``epoch`` index (0-based copy ordinal)
+    on every emitted row.
+
+    This is the "2.5 epochs of books, 0.3 of web" side of pretraining data
+    mixing that :func:`mixture_sample` (downsample-only) refuses to do: the
+    copy count is a pure function of (id, weight), so reruns, engines, and
+    cluster sizes emit identical copies, and the epoch ordinal lets the
+    downstream epoch shuffle give each copy a distinct position.
+
+    Plan: one codegen projection (CASE chain over plan-time weights → copy
+    count) + explode over ``sequence(0, n-1)`` — no shuffle, no collect;
+    output size = Σ w_s·|stratum s| rows exactly (±1 per fractional doc).
+    Thresholds use the same exact integer arithmetic as the samplers, so
+    the oracle reproduces the cut bit-for-bit.  Unlisted / NULL strata get
+    weight 0 (dropped)."""
+    from fractions import Fraction
+
+    n_copies = F.lit(0)
+    bucket = portable_bucket(F.col(id_col), NUM_SAMPLER_BUCKETS)
+    for value, w in sorted(kv for kv in weights.items() if kv[0] is not None):
+        if w < 0:
+            raise ValueError(f"negative epoch weight for {value!r}: {w}")
+        fr = Fraction(w).limit_denominator(10**9)
+        whole = fr.numerator // fr.denominator
+        t = NUM_SAMPLER_BUCKETS * (fr - whole)  # exact Fraction in [0, B)
+        frac_thr = t.numerator // t.denominator
+        n_copies = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(int(whole)) + (bucket < F.lit(int(frac_thr))).cast("int"),
+        ).otherwise(n_copies)
+    return df.withColumn(
+        epoch_col,
+        F.explode(
+            F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
+    )

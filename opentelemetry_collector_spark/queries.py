@@ -605,6 +605,41 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_epoch_replicate",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             ((doc_id % 100003) * 2654435761) % 16384 AS bk
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    n AS (
+      SELECT doc_id, source,
+             CASE source
+               WHEN 'src0' THEN 2 + CASE WHEN bk < 8192 THEN 1 ELSE 0 END
+               WHEN 'src1' THEN 1
+               WHEN 'src2' THEN CASE WHEN bk < 4096 THEN 1 ELSE 0 END
+             END AS nc
+      FROM b)
+    SELECT doc_id, source, CAST(unnest(range(nc)) AS INTEGER) AS epoch
+    FROM n WHERE nc > 0
+    """,
+)
+def sample_epoch_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional-epoch upsampling ("2.5 epochs of src0, 1 of
+    src1, 0.25 of src2") — the upsample side of data mixing that
+    sample_mixture refuses to do.  Copy count is a pure function of
+    (doc_id, weight): floor(w) whole copies + one more iff the portable
+    id-bucket clears the exact-integer fractional threshold; each copy
+    carries its 0-based epoch ordinal.  One projection + explode, no
+    shuffle; unlisted sources emit nothing."""
+    from .operators.sampling import epoch_replicate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_replicate(
+        d, "source", "doc_id", {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    )
+
+
+@_q(
     "bpe_pair_topk",
     """
     WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
@@ -3381,6 +3416,7 @@ _DRIVER_PRIORITY = [
     "text_dup_spans",
     "sample_token_budget",
     "bpe_pair_topk",
+    "sample_epoch_replicate",
     # (b) operator or oracle changed round 4
     "group_by_attrs",
     "hist_exponential",

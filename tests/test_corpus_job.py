@@ -1,0 +1,53 @@
+"""corpus_prep_job.build: the deployable ladder composes and writes."""
+
+import json
+import subprocess
+import sys
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_build_ladder_over_sf0001(spark):
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_prep_job import build
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    out = build(
+        spark, corpus, bench,
+        mixture={"src0": 0.25, "src1": 0.25, "src2": 0.25, "src5": 0.25},
+        budget=3000,
+        epochs={"src0": 2.0, "src1": 1.0, "src2": 1.0, "src5": 0.5},
+    )
+    kept = out["kept"].collect()
+    assert 0 < len(kept) <= corpus.count() * 2  # epochs can replicate
+    assert {r.split for r in kept} <= {"train", "val", "test"}
+    stats = out["stats"].collect()
+    assert stats and all(r.n_tok > 0 and 0 < r.avg_fill <= 1.0 for r in stats)
+    # (doc, epoch-copy) pairs are unique; src0 docs appear exactly 2 times
+    ids = [(r.doc_id, r.epoch) for r in kept]
+    assert len(ids) == len(set(ids))
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in kept if r.source == "src0")
+    assert per_doc and all(n == 2 for n in per_doc.values())
+
+
+def test_job_cli_writes_artifacts(tmp_path):
+    """End-to-end through the CLI path (plain python: getOrCreate attaches a
+    local session) — kept/packed/stats parquet + manifest.json land."""
+    out = tmp_path / "corpus_out"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/corpus_prep_job.py",
+         "--input", f"{SF}/documents.parquet", "--output", str(out),
+         "--budget", "4000"],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["rows"]["kept"] > 0 and manifest["rows"]["stats"] > 0
+    assert (out / "packed").exists()

@@ -312,3 +312,31 @@ def test_token_budget_sample_cuts_exact_prefix_per_stratum(spark):
         ).collect()
     }
     assert got4 == expect
+
+
+def test_epoch_replicate_exact_copy_counts(spark):
+    """floor(w) copies always; the fractional extra is a pure function of
+    the id bucket; epoch ordinals are 0..n-1; weight-0 / unlisted / NULL
+    strata vanish; negative weights rejected."""
+    import pytest
+
+    from opentelemetry_collector_spark.functions.hashing import (
+        NUM_SAMPLER_BUCKETS,
+    )
+    from opentelemetry_collector_spark.operators.sampling import epoch_replicate
+
+    rows = [(i, ["a", "b", "c", None][i % 4]) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = epoch_replicate(df, "src", "id", {"a": 2.5, "b": 1.0, "c": 0.0})
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.id, []).append(r.epoch)
+
+    def bucket(i):
+        return ((i % 100003) * 2654435761) % NUM_SAMPLER_BUCKETS
+
+    for i, s in rows:
+        n = {"a": 2 + (bucket(i) < NUM_SAMPLER_BUCKETS // 2), "b": 1}.get(s, 0)
+        assert sorted(got.get(i, [])) == list(range(n)), (i, s)
+    with pytest.raises(ValueError, match="negative"):
+        epoch_replicate(df, "src", "id", {"a": -1.0})
