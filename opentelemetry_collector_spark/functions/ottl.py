@@ -245,6 +245,11 @@ _CONVERTERS = {
     "Hour": lambda a: F.hour(a[0]).cast("long"),
     "Minute": lambda a: F.minute(a[0]).cast("long"),
     "Second": lambda a: F.second(a[0]).cast("long"),
+    "Day": lambda a: F.dayofmonth(a[0]).cast("long"),
+    "Month": lambda a: F.month(a[0]).cast("long"),
+    "Year": lambda a: F.year(a[0]).cast("long"),
+    "SHA1": lambda a: F.sha1(a[0].cast("string")),
+    "MD5": lambda a: F.md5(a[0].cast("string")),
     "IsMatch": None,    # handled in _compile (needs the literal pattern)
     "Substring": None,  # handled in _compile (0-based → 1-based shift)
     "Split": None,      # handled in _compile (literal, non-regex delimiter)
@@ -253,10 +258,23 @@ _CONVERTERS = {
     "IsInt": None,
     "IsDouble": None,
     "IsBool": None,
+    "ConvertCase": None,       # handled in _compile (literal case mode)
+    "TruncateTime": None,      # handled in _compile (literal duration)
+    "ToKeyValueString": None,  # handled in _compile (literal delimiters)
 }
 
 # converter name -> arity (validated at config load; 1 unless listed)
-_CONVERTER_ARITY = {"IsMatch": 2, "Substring": 3, "Split": 2, "Concat": 2}
+_CONVERTER_ARITY = {
+    "IsMatch": 2, "Substring": 3, "Split": 2, "Concat": 2,
+    "ConvertCase": 2, "TruncateTime": 2, "ToKeyValueString": 4,
+}
+
+_CONVERT_CASES = ("upper", "lower", "snake", "camel")
+
+# TruncateTime literal durations -> date_trunc units (the upstream converter
+# takes any Go duration; the grid an aggregation pipeline actually uses maps
+# onto engine-native date_trunc — anything else is rejected at config load)
+_TRUNC_UNITS = {"1s": "second", "1m": "minute", "1h": "hour", "1d": "day"}
 
 # type-predicate converters: upstream inspects the pcommon value's dynamic
 # type; in a statically-typed engine the answer is a plan-time constant of
@@ -309,6 +327,53 @@ def _compile(node, df: DataFrame) -> Column:
             return F.concat_ws(
                 str(delim.value), *[_compile(v, df).cast("string") for v in vals.items]
             )
+        if node.fn == "ConvertCase":
+            mode = node.args[1]
+            if not isinstance(mode, Lit) or mode.value not in _CONVERT_CASES:
+                raise ValueError(f"OTTL: ConvertCase mode must be one of {_CONVERT_CASES}")
+            s = _compile(node.args[0], df).cast("string")
+            if mode.value == "upper":
+                return F.upper(s)
+            if mode.value == "lower":
+                return F.lower(s)
+            if mode.value == "snake":
+                # common-identifier parity with Go strcase.ToSnake: break
+                # ACRONYMWord and lowerUpper boundaries, then lowercase
+                # (exotic unicode/acronym edge cases may differ)
+                broken = F.regexp_replace(s, r"([A-Z]+)([A-Z][a-z])", r"$1_$2")
+                broken = F.regexp_replace(broken, r"([a-z0-9])([A-Z])", r"$1_$2")
+                return F.lower(broken)
+            # camel: strcase.ToCamel — split on _/space, capitalize parts
+            return F.regexp_replace(
+                F.initcap(F.regexp_replace(s, r"[_\s]+", " ")), r" ", ""
+            )
+        if node.fn == "TruncateTime":
+            dur = node.args[1]
+            if not isinstance(dur, Lit) or str(dur.value) not in _TRUNC_UNITS:
+                raise ValueError(
+                    f"OTTL: TruncateTime duration must be one of {sorted(_TRUNC_UNITS)}"
+                )
+            return F.date_trunc(
+                _TRUNC_UNITS[str(dur.value)], _compile(node.args[0], df).cast("timestamp")
+            )
+        if node.fn == "ToKeyValueString":
+            delim, pair_delim, sort_out = node.args[1], node.args[2], node.args[3]
+            if not all(isinstance(a, Lit) for a in (delim, pair_delim, sort_out)):
+                raise ValueError(
+                    'OTTL: ToKeyValueString(map, "delim", "pair_delim", sort) '
+                    "takes literal delimiters and a literal sort flag"
+                )
+            m = _compile(node.args[0], df)
+            ents = F.map_entries(m)
+            if sort_out.value is True:
+                ents = F.array_sort(ents)  # struct sort: by key, then value
+            parts = F.transform(
+                ents,
+                lambda e: F.concat(
+                    e["key"].cast("string"), F.lit(str(delim.value)), e["value"].cast("string")
+                ),
+            )
+            return F.array_join(parts, str(pair_delim.value))
         if node.fn in _TYPE_PREDICATES:
             arg = _compile(node.args[0], df)
             dtype = df.select(arg.alias("_t")).schema[0].dataType.simpleString()
@@ -482,6 +547,22 @@ def _validate_expr(node) -> None:
             isinstance(node.args[0], ListLit) and isinstance(node.args[1], Lit)
         ):
             raise ValueError('OTTL: Concat([vals, ...], "delim")')
+        if node.fn == "ConvertCase" and not (
+            isinstance(node.args[1], Lit) and node.args[1].value in _CONVERT_CASES
+        ):
+            raise ValueError(f"OTTL: ConvertCase mode must be one of {_CONVERT_CASES}")
+        if node.fn == "TruncateTime" and not (
+            isinstance(node.args[1], Lit) and str(node.args[1].value) in _TRUNC_UNITS
+        ):
+            raise ValueError(
+                f"OTTL: TruncateTime duration must be one of {sorted(_TRUNC_UNITS)}"
+            )
+        if node.fn == "ToKeyValueString" and not all(
+            isinstance(a, Lit) for a in node.args[1:]
+        ):
+            raise ValueError(
+                "OTTL: ToKeyValueString delimiters and sort flag must be literals"
+            )
         for a in node.args:
             _validate_expr(a)
     elif isinstance(node, ListLit):

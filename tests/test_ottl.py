@@ -373,3 +373,56 @@ def test_type_predicates_static_types_and_nil(spark):
     assert out[1].x_s is False and out[1].m_v is False
     # nil values report false even when the column type matches
     assert (out[2].t_s, out[2].t_i, out[2].t_d, out[2].t_b) == (False, False, False, False)
+
+
+def test_tranche3_converters(spark):
+    """ConvertCase (4 modes), SHA1/MD5, Day/Month/Year, TruncateTime,
+    ToKeyValueString — mirrored against python hashlib / datetime."""
+    import datetime as dt
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "parseHTTPResponse", "some_var name",
+          dt.datetime(2024, 3, 5, 14, 30, 45, 123456), {"b": "2", "a": "1"})],
+        "id long, ident string, s string, ts timestamp, m map<string,string>",
+    )
+    out = apply_ottl(
+        df,
+        [
+            'set(up, ConvertCase(ident, "upper"))',
+            'set(lo, ConvertCase(ident, "lower"))',
+            'set(sn, ConvertCase(ident, "snake"))',
+            'set(ca, ConvertCase(s, "camel"))',
+            "set(h1, SHA1(ident))",
+            "set(h2, MD5(ident))",
+            "set(dd, Day(ts))",
+            "set(mo, Month(ts))",
+            "set(yy, Year(ts))",
+            'set(th, TruncateTime(ts, "1h"))',
+            'set(td, TruncateTime(ts, "1d"))',
+            'set(kv, ToKeyValueString(m, "=", " ", true))',
+        ],
+    ).collect()[0]
+    assert out.up == "PARSEHTTPRESPONSE" and out.lo == "parsehttpresponse"
+    assert out.sn == "parse_http_response"
+    assert out.ca == "SomeVarName"
+    assert out.h1 == hashlib.sha1(b"parseHTTPResponse").hexdigest()
+    assert out.h2 == hashlib.md5(b"parseHTTPResponse").hexdigest()
+    assert (out.dd, out.mo, out.yy) == (5, 3, 2024)
+    assert out.th == dt.datetime(2024, 3, 5, 14, 0, 0)
+    assert out.td == dt.datetime(2024, 3, 5, 0, 0, 0)
+    assert out.kv == "a=1 b=2"  # sorted output
+
+
+def test_tranche3_validation_rejects_bad_literals():
+    from opentelemetry_collector_spark.functions.ottl import validate_statement
+
+    for bad in [
+        'set(x, ConvertCase(y, "title"))',      # unknown mode
+        "set(x, ConvertCase(y, z))",            # non-literal mode
+        'set(x, TruncateTime(ts, "7m"))',       # unsupported duration
+        'set(x, ToKeyValueString(m, "=", " ", flag))',  # non-literal sort
+        'set(x, ToKeyValueString(m, "="))',     # arity 4
+    ]:
+        with pytest.raises(ValueError):
+            validate_statement(bad)
