@@ -99,7 +99,12 @@ def _merge_fold(w: Column, w1: str, w2: str, merged: str) -> Column:
 def apply_merge(
     arrs: DataFrame, w1: str, w2: str, arr_col: str = "toks", joiner: str = "▁"
 ) -> DataFrame:
-    """Apply one learned merge to every row (projection only, no shuffle)."""
+    """Apply one learned merge to every row (projection only, no shuffle).
+
+    The joiner must not occur in raw corpus symbols (standard BPE caveat:
+    a raw token equal to ``w1+joiner+w2`` would alias the merged symbol) —
+    hence the default U+2581 sentencepiece marker, which whitespace
+    tokenization cannot produce."""
     merged = w1 + joiner + w2
     return arrs.withColumn(arr_col, _merge_fold(F.col(arr_col), w1, w2, merged))
 

@@ -315,12 +315,29 @@ def token_budget_sample(
     one-partition Window funnel, which is the naive form's scale-killer),
     then per-stratum start offsets come from a #strata-row aggregate
     broadcast back.  Total cost: one range shuffle + two config-sized
-    broadcasts, regardless of how skewed the strata are."""
+    broadcasts, regardless of how skewed the strata are.
+
+    The start offsets are derived from per-stratum weight TOTALS over the
+    base frame (strata are contiguous blocks of the global order, so a
+    stratum's first global offset = the cumulative total of all strata
+    sorted before it) — NOT from ``min(_goff)`` over the prefix-sum frame,
+    which would re-evaluate the whole window subtree a second time (the
+    prefix-sum output is referenced once, exactly one heavy pass)."""
+    from pyspark.sql import Window
+
     from .packing import _global_prefix_sum
 
     base = df.withColumn("_bk", portable_bucket(F.col(id_col), NUM_SAMPLER_BUCKETS))
     pre = _global_prefix_sum(base, [strata_col, "_bk", id_col], weight_col, "_goff")
-    starts = pre.groupBy(strata_col).agg(F.min("_goff").alias("_s0"))
+    # #strata rows: same NULLS-FIRST ascending order as the range partitioning
+    off_w = Window.orderBy(strata_col).rowsBetween(Window.unboundedPreceding, -1)
+    starts = (
+        base.groupBy(strata_col)
+        .agg(F.sum(weight_col).alias("_tw"))
+        .select(
+            strata_col, F.coalesce(F.sum("_tw").over(off_w), F.lit(0)).alias("_s0")
+        )
+    )
     return (
         pre.join(F.broadcast(starts), strata_col)
         .withColumn(cum_col, F.col("_goff") - F.col("_s0") + F.col(weight_col))
