@@ -409,19 +409,26 @@ def duplicate_span_stats(
     signal document-level MinHash misses (a unique page wrapping a copied
     license block or boilerplate footer).
 
-    Plan, all built-ins:
+    Plan, all built-ins, ONE digest pass (the md5-per-window projection is
+    the CPU hotspot, so the plan is shaped to evaluate it exactly once —
+    the earlier two-consumer form ran the explode+md5 subtree twice):
     1. every k-word window → md5 digest + its position (one staged split +
        posexplode: one row per token, linear);
-    2. cross-doc window df = one hash aggregate over distinct (doc, digest);
-    3. duplicated positions re-join on the digest, then per doc the covered
-       token count is an exact interval-union fold over the SORTED position
-       list (aggregate with a (total, prev_end) struct accumulator — pure
-       codegen, no UDF).
-    Shuffles carry (doc, digest) / (digest) rows only.  At 100 TB swap the
-    md5 for xxhash64 (engine-native) and df-cap the digest table's zipf head
-    exactly like the shingle verify.  Docs shorter than k words report 0.
+    2. group to one row per (digest, doc) carrying that doc's position
+       list; document frequency = a count window over the digest partition
+       (the rows are distinct (digest, doc) pairs by construction);
+    3. per doc the covered token count is an exact interval-union fold over
+       the SORTED flattened position list (aggregate with a
+       (total, prev_end) struct accumulator — pure codegen, no UDF).
+    Shuffles carry (digest, doc, positions) rows only.  At 100 TB swap the
+    md5 for xxhash64 (engine-native) and df-cap the digest table's zipf
+    head exactly like the shingle verify — the count window concentrates a
+    hot digest on one task, so the cap is the skew control too.  Docs
+    shorter than k words report 0.
 
     Returns (id, n_words, dup_tokens, dup_span_ratio)."""
+    from pyspark.sql import Window
+
     staged = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("_w"))
     w = F.col("_w")
     windows = F.when(
@@ -433,28 +440,24 @@ def duplicate_span_stats(
     ).otherwise(F.array().cast("array<string>"))
     base = staged.select("id", F.size(w).alias("n_words"), windows.alias("_sh"))
     pos_h = base.select("id", F.posexplode("_sh").alias("pos", "h"))
-    dup_h = (
-        pos_h.select("id", "h").distinct()
-        .groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("h")
+    per_doc = pos_h.groupBy("h", "id").agg(
+        F.collect_list(F.col("pos").cast("long")).alias("_ps")
     )
+    dup = per_doc.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("_df") >= min_df)
     init = F.struct(
         F.lit(0).cast("long").alias("t"), F.lit(-(k + 1)).cast("long").alias("e")
     )
-    covered = (
-        pos_h.join(dup_h, "h")
-        .groupBy("id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.col("pos").cast("long"))),
-                init,
-                lambda acc, p: F.struct(
-                    (acc["t"] + k - F.greatest(F.lit(0).cast("long"), acc["e"] - p)).alias("t"),
-                    (p + k).alias("e"),
-                ),
-            )["t"].alias("dup_tokens")
-        )
+    covered = dup.groupBy("id").agg(
+        F.aggregate(
+            F.array_sort(F.flatten(F.collect_list("_ps"))),
+            init,
+            lambda acc, p: F.struct(
+                (acc["t"] + k - F.greatest(F.lit(0).cast("long"), acc["e"] - p)).alias("t"),
+                (p + k).alias("e"),
+            ),
+        )["t"].alias("dup_tokens")
     )
     return (
         base.select("id", "n_words")
