@@ -209,8 +209,13 @@ def unigram_logprob(df, id_col: str, text_col: str):
     toks = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("nt"))
+    # persist: the vocab feeds both the corpus-total aggregate and the
+    # scoring join — vocab-sized (bounded, zipf head), so caching it costs
+    # a dictionary and saves one full corpus explode per extra consumer
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    # corpus total = Σ vocab counts: a vocab-sized aggregate, NOT a second
+    # corpus-wide explode (the naive toks.count() form re-ran the explode)
+    total = vocab.agg(F.sum("c").alias("nt"))
     scored = toks.join(vocab, "tok").join(F.broadcast(total))
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tok"),
@@ -272,8 +277,13 @@ def bigram_logprob(df, id_col: str, text_col: str, lam: float = 0.75):
     staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
     w = F.col("_w")
     toks = staged.select(F.col(id_col), F.explode(w).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
-    total = toks.agg(F.count(F.lit(1)).alias("nt"))
+    # persist: the unigram vocab has THREE consumers (c_w1 join, c_w2 join,
+    # corpus total) — uncached it re-runs the corpus explode per consumer;
+    # cached it is a bounded dictionary
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1")).persist()
+    # corpus total from the unigram vocab (vocab-sized aggregate), not a
+    # second corpus-wide explode
+    total = uni.agg(F.sum("c1").alias("nt"))
     bigrams = staged.filter(F.size(w) >= 2).select(
         F.col(id_col),
         F.explode(
@@ -317,9 +327,12 @@ def ccnet_buckets(df, id_col: str, text_col: str, lang_col: str = "lang", lam: f
     one extra narrow join over (doc, lang, score) rows."""
     import pyspark.sql.functions as F
 
+    # persist: `scored` (one narrow row per doc) feeds BOTH the threshold
+    # aggregate and the bucket assignment — without it the entire bigram
+    # ladder (two corpus explodes + three joins) evaluates twice
     scored = bigram_logprob(df, id_col, text_col, lam=lam).join(
         df.select(F.col(id_col), F.col(lang_col)), id_col
-    )
+    ).persist()
     thr = scored.groupBy(lang_col).agg(
         F.round(F.percentile("avg_logp2", F.lit(1.0 / 3.0)), 4).alias("_t1"),
         F.round(F.percentile("avg_logp2", F.lit(2.0 / 3.0)), 4).alias("_t2"),
