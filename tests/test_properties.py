@@ -312,8 +312,14 @@ def test_exponential_histogram_matches_python_reference(spark, vals, scale):
     df = spark.createDataFrame([("d", float(v)) for v in vals], "d string, v double")
     got = exponential_histogram(df, "d", "v", scale=scale).collect()[0]
 
+    # mirror the operator/oracle contract: the scaled log2 is rounded to 9
+    # decimals before ceil (boundary determinism on exact powers of the
+    # base — values within 5e-10 of a power, e.g. float32 FLT_MIN vs
+    # 2**-126, must land in the same bucket on every engine)
     idxs = [
-        math.ceil(math.log2(v) * (1 << scale)) - 1 for v in vals if v > 0
+        math.ceil(round(math.log2(v) * (1 << scale), 9)) - 1
+        for v in vals
+        if v > 0
     ]
     zero = sum(1 for v in vals if v <= 0)
     assert got.zero_count == zero
