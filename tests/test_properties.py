@@ -329,3 +329,68 @@ def test_exponential_histogram_matches_python_reference(spark, vals, scale):
         assert got.n_buckets == len(set(idxs))
     else:
         assert got.idx_min is None and got.n_buckets == 0
+
+
+# ---------------------------------------------------------------------------
+# token-budget curation vs a pure-python take-while
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),      # id
+            st.sampled_from(["a", "b", "c"]),                # stratum
+            st.integers(min_value=1, max_value=200),         # weight
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    budget=st.integers(min_value=1, max_value=2_000),
+)
+@SETTINGS
+def test_token_budget_sample_matches_python_takewhile(spark, rows, budget):
+    """The kept set equals a per-stratum hash-ordered take-while; the
+    inclusive cumsum never exceeds the budget; and removing every OTHER
+    stratum leaves this stratum's cut unchanged (growth stability — the
+    property a global-fraction sampler cannot give)."""
+    from opentelemetry_collector_spark.functions.hashing import (
+        NUM_SAMPLER_BUCKETS,
+    )
+    from opentelemetry_collector_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(rows, "id long, src string, w long")
+    got = {
+        r.id: r.cum_weight
+        for r in token_budget_sample(df, "src", "id", "w", budget).collect()
+    }
+
+    def bucket(i):
+        return ((i % 100003) * 2654435761) % NUM_SAMPLER_BUCKETS
+
+    expect = {}
+    for s in {r[1] for r in rows}:
+        cum = 0
+        for i, _, w in sorted(
+            (r for r in rows if r[1] == s), key=lambda r: (bucket(r[0]), r[0])
+        ):
+            cum += w
+            if cum > budget:
+                break
+            expect[i] = cum
+    assert got == expect
+    assert all(c <= budget for c in got.values())
+
+    # growth stability: the 'a'-stratum cut is identical when b/c are absent
+    only_a = [r for r in rows if r[1] == "a"]
+    if only_a:
+        df_a = spark.createDataFrame(only_a, "id long, src string, w long")
+        got_a = {
+            r.id: r.cum_weight
+            for r in token_budget_sample(df_a, "src", "id", "w", budget).collect()
+        }
+        a_ids = {r[0] for r in only_a}
+        assert got_a == {i: c for i, c in expect.items() if i in a_ids}
