@@ -86,6 +86,7 @@ HEADLINE = [
     "sample_token_budget",
     "bpe_pair_topk",
     "sample_epoch_replicate",
+    "text_dup_spans_removed",
 ]
 
 

@@ -395,6 +395,36 @@ def simhash_banded_pairs(
     )
 
 
+def _dup_window_frames(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_df: int
+):
+    """Shared single-digest-pass ladder for the duplicate-span operators:
+    k-word window md5 digests + positions (one posexplode), grouped to one
+    row per (digest, doc) with that doc's position list, document frequency
+    from a count window over the digest partition.  Returns
+    (base(id, n_words, _w, _sh), dup(h, id, _ps, _df))."""
+    from pyspark.sql import Window
+
+    staged = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    windows = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.md5(F.array_join(F.slice(w, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = staged.select("id", F.size(w).alias("n_words"), w, windows.alias("_sh"))
+    pos_h = base.select("id", F.posexplode("_sh").alias("pos", "h"))
+    per_doc = pos_h.groupBy("h", "id").agg(
+        F.collect_list(F.col("pos").cast("long")).alias("_ps")
+    )
+    dup = per_doc.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("_df") >= min_df)
+    return base, dup
+
+
 def duplicate_span_stats(
     df: DataFrame,
     id_col: str,
@@ -427,25 +457,7 @@ def duplicate_span_stats(
     shorter than k words report 0.
 
     Returns (id, n_words, dup_tokens, dup_span_ratio)."""
-    from pyspark.sql import Window
-
-    staged = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("_w"))
-    w = F.col("_w")
-    windows = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: F.md5(F.array_join(F.slice(w, i + 1, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = staged.select("id", F.size(w).alias("n_words"), windows.alias("_sh"))
-    pos_h = base.select("id", F.posexplode("_sh").alias("pos", "h"))
-    per_doc = pos_h.groupBy("h", "id").agg(
-        F.collect_list(F.col("pos").cast("long")).alias("_ps")
-    )
-    dup = per_doc.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).filter(F.col("_df") >= min_df)
+    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df)
     init = F.struct(
         F.lit(0).cast("long").alias("t"), F.lit(-(k + 1)).cast("long").alias("e")
     )
@@ -469,5 +481,64 @@ def duplicate_span_stats(
             F.round(
                 F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_words", F.lit(1)), 4
             ).alias("dup_span_ratio"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (the action Lee et al. 2021 take on the
+    signal :func:`duplicate_span_stats` measures): excise from every
+    document each token covered by a ≥ *k*-word run appearing verbatim in
+    ≥ *min_df* distinct documents, keeping the rest in order.
+
+    Shares the single-digest-pass ladder (``_dup_window_frames``), then:
+    duplicated window starts explode into their k covered positions
+    (distinct), the token stream anti-joins the covered set on (doc, pos),
+    and the survivors fold back into one row per doc.  The cleaned text is
+    emitted as an md5 digest of the kept-token join (scalar — the driver
+    canonicalizer and an independent engine can value-check contents
+    without comparing raw arrays); fully-covered docs report n_kept=0 with
+    md5('').  Shuffles carry (doc, digest)/(doc, pos) rows only — linear.
+
+    Returns (id, n_words, n_kept, clean_md5)."""
+    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df)
+    cov = (
+        dup.select("id", F.explode("_ps").alias("p"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select("id", F.posexplode("_w").alias("pos", "w")).withColumn(
+        "pos", F.col("pos").cast("long")
+    )
+    kept = toks.join(cov, ["id", "pos"], "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        base.select("id", "n_words")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
         )
     )

@@ -1459,6 +1459,53 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_dup_spans_removed",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+          i -> {'pos': i, 'h': md5(array_to_string(w[i:i+7], ' '))})) AS p
+      FROM t WHERE len(w) >= 8),
+    sh2 AS (SELECT doc_id, p.pos AS pos, p.h AS h FROM sh),
+    dup AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh2)
+      GROUP BY h HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT s.doc_id, s.pos + u.i AS cpos
+      FROM sh2 s JOIN dup USING (h), unnest(range(8)) AS u(i)),
+    tok AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                                           i -> {'pos': i, 'w': w[i]})) AS tw
+      FROM t),
+    tok2 AS (SELECT doc_id, tw.pos AS pos, tw.w AS w FROM tok),
+    kept AS (
+      SELECT tok2.doc_id, tok2.pos, tok2.w FROM tok2
+      ANTI JOIN cov ON tok2.doc_id = cov.doc_id AND tok2.pos = cov.cpos),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, len(t.w) AS n_words,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.clean_md5, md5('')) AS clean_md5
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder ext: duplicate-span REMOVAL (the Lee et al. 2021 action
+    on the text_dup_spans signal) — excise every token covered by a ≥8-word
+    run shared with ≥2 docs; emit kept counts + an md5 of the cleaned text
+    so the oracle value-checks contents through a scalar.  Single digest
+    pass shared with the stats key; covered positions anti-join the token
+    stream on (doc, pos)."""
+    from .operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_df=2
+    ).withColumnRenamed("id", "doc_id")
+
+
+@_q(
     "dedup_corpus_keep",
     """
     WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -3417,6 +3464,7 @@ _DRIVER_PRIORITY = [
     "sample_token_budget",
     "bpe_pair_topk",
     "sample_epoch_replicate",
+    "text_dup_spans_removed",
     # (b) operator or oracle changed round 4
     "group_by_attrs",
     "hist_exponential",

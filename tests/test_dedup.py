@@ -259,3 +259,37 @@ def test_duplicate_span_stats_interval_union(spark):
     # window df counts DISTINCT docs: repeating a phrase inside one doc is not
     # cross-corpus duplication
     assert out[5].dup_tokens == 0
+
+
+def test_remove_duplicate_spans_excises_covered_tokens(spark):
+    """Removal = complement of the stats coverage: overlapping duplicated
+    windows excise their union, survivors keep original order, short docs
+    pass through, and a fully-covered doc reports n_kept=0 with md5('')."""
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),   # shares 5-word run a..e with doc 2
+            (2, "q a b c d e r s"),
+            (3, "u v w m n o p t"),   # unique -> untouched
+            (4, "a b"),               # shorter than k -> untouched
+            (5, "a b c d e"),         # fully covered by the shared run
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.id: r for r in remove_duplicate_spans(df, "doc_id", "text", k=3).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (out[1].n_kept, out[1].clean_md5) == (3, md5("x y z"))
+    assert (out[2].n_kept, out[2].clean_md5) == (3, md5("q r s"))
+    assert (out[3].n_kept, out[3].clean_md5) == (8, md5("u v w m n o p t"))
+    assert (out[4].n_kept, out[4].clean_md5) == (2, md5("a b"))
+    assert (out[5].n_kept, out[5].clean_md5) == (0, md5(""))
+    # conservation: kept + covered = total per doc
+    assert all(out[i].n_kept <= out[i].n_words for i in out)
