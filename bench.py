@@ -87,6 +87,7 @@ HEADLINE = [
     "bpe_pair_topk",
     "sample_epoch_replicate",
     "text_dup_spans_removed",
+    "text_dsir_weight",
 ]
 
 

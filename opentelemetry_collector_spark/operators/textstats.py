@@ -347,3 +347,65 @@ def ccnet_buckets(df, id_col: str, text_col: str, lang_col: str = "lang", lam: f
         scored.join(F.broadcast(thr), lang_col)
         .select(F.col(id_col), F.col(lang_col), s.alias("avg_logp2"), bucket.alias("bucket"))
     )
+
+
+def dsir_weight(corpus, target, id_col: str, text_col: str):
+    """DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every corpus
+    document by the average per-token log-likelihood ratio between a TARGET
+    corpus's unigram LM and the corpus's own — the hashed-ngram importance
+    weight DSIR resamples by, with add-one smoothing over the union
+    vocabulary so unseen tokens are defined on both sides.
+
+    avg_llr = mean over tokens w of
+        log2((c_target(w)+1)/(N_target+V)) − log2((c_corpus(w)+1)/(N_corpus+V))
+
+    High = looks like the target domain; low = out-of-domain.  All counts
+    are exact integers and the only floats are the two log2s and the final
+    4-decimal round, so an independent engine reproduces the score.
+
+    Plan: one corpus explode feeds the corpus vocab AND the scoring join
+    (vocab persisted — bounded); the target vocab is its own aggregate
+    (target ≪ corpus: an exemplar set, not a second 100 TB table); V and
+    the two totals are 1-row/vocab-sized aggregates broadcast into the
+    scoring frame (declared scalar pattern).  Returns (id, n_tok, avg_llr)."""
+    import pyspark.sql.functions as F
+
+    toks = corpus.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
+    voc_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cc")).persist()
+    voc_t = (
+        target.select(F.explode(words(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .persist()
+    )
+    union_v = (
+        voc_c.select("tok").unionByName(voc_t.select("tok")).distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    n_c = voc_c.agg(F.sum("cc").alias("nc"))
+    n_t = voc_t.agg(F.sum("ct").alias("nt"))
+    scored = (
+        toks.join(voc_c, "tok")                       # every corpus token has cc
+        .join(voc_t, "tok", "left")                   # missing in target → ct NULL
+        .join(F.broadcast(union_v))
+        .join(F.broadcast(n_c))
+        .join(F.broadcast(n_t))
+    )
+    llr = F.log2(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("nt") + F.col("v")).cast("double")
+    ) - F.log2((F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("v")).cast("double"))
+    # integer-quantize the per-token ratio to micros before summing: float
+    # addition is order-sensitive at the final rounding boundary, integer
+    # sums are exact on every engine (each token's llr is itself a pure
+    # function of vocab counts, so the quantization is deterministic)
+    q = F.round(llr * F.lit(1e6), 0).cast("long")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        # + 0.0 collapses IEEE negative zero (an avg of tiny negatives can
+        # round to -0.0, which canonicalizes as '-0.000000' ≠ '0.000000')
+        (F.round(F.sum(q) / F.lit(1e6) / F.count(F.lit(1)), 4) + F.lit(0.0)).alias(
+            "avg_llr"
+        ),
+    )

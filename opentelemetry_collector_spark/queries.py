@@ -1459,6 +1459,49 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_dsir_weight",
+    """
+    WITH c AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE source <> 'src0'),
+    t AS (SELECT string_split(text, ' ') AS w
+          FROM documents WHERE source = 'src0'),
+    ctok AS (SELECT doc_id, unnest(w) AS tok FROM c),
+    ttok AS (SELECT unnest(w) AS tok FROM t),
+    vc AS (SELECT tok, count(*) AS cc FROM ctok GROUP BY tok),
+    vt AS (SELECT tok, count(*) AS ct FROM ttok GROUP BY tok),
+    v AS (SELECT count(*) AS v
+          FROM (SELECT tok FROM vc UNION SELECT tok FROM vt)),
+    nc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM vc),
+    nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM vt),
+    s AS (
+      SELECT ctok.doc_id,
+             CAST(ROUND((log2(CAST(COALESCE(vt.ct, 0) + 1 AS DOUBLE) / (nt.nt + v.v))
+               - log2(CAST(vc.cc + 1 AS DOUBLE) / (nc.nc + v.v))) * 1e6) AS BIGINT) AS q
+      FROM ctok JOIN vc USING (tok) LEFT JOIN vt USING (tok), v, nc, nt)
+    SELECT doc_id, count(*) AS n_tok,
+           ROUND(CAST(sum(q) AS BIGINT) / 1e6 / count(*), 4) + 0.0 AS avg_llr
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023): score every non-src0
+    document by the average per-token log-likelihood ratio between the
+    src0 exemplar corpus's unigram LM and the corpus's own (add-one
+    smoothing over the union vocabulary) — the data-selection signal DSIR
+    resamples by.  Exact integer counts; the only floats are two log2s and
+    the final round."""
+    from .operators.textstats import dsir_weight
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weight(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+    )
+
+
+@_q(
     "text_dup_spans_removed",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3465,6 +3508,7 @@ _DRIVER_PRIORITY = [
     "bpe_pair_topk",
     "sample_epoch_replicate",
     "text_dup_spans_removed",
+    "text_dsir_weight",
     # (b) operator or oracle changed round 4
     "group_by_attrs",
     "hist_exponential",

@@ -179,6 +179,7 @@ _NESTED_LOOP_OK = {
     "text_bigram_logprob",     # same 1-row corpus-total broadcast
     "text_ccnet_buckets",      # same scoring ladder underneath
     "corpus_prep_e2e",         # ladder recall/scalar joins (1-row broadcast)
+    "text_dsir_weight",        # V / N_target / N_corpus: three 1-row broadcasts
 }
 
 

@@ -146,3 +146,29 @@ def test_ccnet_buckets_tertiles_per_lang(spark):
         hs = [r["avg_logp2"] for r in rs if r["bucket"] == "head"]
         ts = [r["avg_logp2"] for r in rs if r["bucket"] == "tail"]
         assert min(hs) >= max(ts)  # head scores dominate tail scores
+
+
+def test_dsir_weight_ranks_target_like_docs_higher(spark):
+    """Docs sharing the target's vocabulary must outscore out-of-domain
+    docs; every corpus doc gets a row; scores are finite."""
+    import math
+
+    from opentelemetry_collector_spark.operators.textstats import dsir_weight
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta"), (101, "beta gamma delta")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma beta"),       # in-domain
+            (2, "zeta eta theta iota kappa"),   # out-of-domain
+            (3, "alpha zeta beta eta"),         # mixed
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dsir_weight(corpus, target, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(math.isfinite(r.avg_llr) for r in out.values())
+    assert out[1].avg_llr > out[3].avg_llr > out[2].avg_llr
+    assert out[1].n_tok == 4 and out[2].n_tok == 5
