@@ -3520,6 +3520,7 @@ _DRIVER_PRIORITY = [
     "pack_sequences",
     "token_freq_topk",
     "text_contamination",
+    "text_unigram_logprob",  # vocab persist + total-from-vocab (late round 4)
     # (d) r03-green re-confirmations, heaviest/most-composed first
     "dedup_corpus_keep_lsh",
     "dedup_corpus_keep_cc",
