@@ -48,6 +48,8 @@ def build(
     epochs: dict[str, float] | None = None,
     splits: dict[str, float] | None = None,
     vocab: int = 50257,
+    dsir_source: str | None = None,
+    dsir_min: float = 0.0,
 ) -> dict[str, DataFrame]:
     """Compose the ladder; returns {'kept', 'packed', 'stats'} DataFrames.
 
@@ -101,6 +103,18 @@ def build(
     ).select("doc_id")
     gated = kept.join(ok, "doc_id", "left_semi")
 
+    if dsir_source:
+        # DSIR data selection (textstats.dsir_weight): keep docs whose
+        # average target-vs-corpus log-likelihood ratio clears the floor,
+        # using the named source's own gated docs as the domain exemplar
+        from opentelemetry_collector_spark.operators.textstats import dsir_weight
+
+        exemplar = gated.filter(F.col("source") == dsir_source)
+        weights_df = dsir_weight(
+            gated.filter(F.col("source") != dsir_source), exemplar, "doc_id", "text"
+        )
+        keep_ids = weights_df.filter(F.col("avg_llr") >= dsir_min).select("doc_id")
+        gated = gated.join(keep_ids, "doc_id", "left_semi").unionByName(exemplar)
     if mixture:
         gated = mixture_sample(
             gated, "source", "doc_id", mixture, total_fraction=total_fraction
@@ -155,6 +169,10 @@ def main() -> None:
     ap.add_argument("--total-fraction", type=float, default=0.5)
     ap.add_argument("--budget", type=int, default=None, help="per-source char budget")
     ap.add_argument("--epochs", default=None, help='JSON fractional epochs per source')
+    ap.add_argument("--dsir-source", default=None,
+                    help="source name used as the in-domain exemplar for DSIR selection")
+    ap.add_argument("--dsir-min", type=float, default=0.0,
+                    help="keep docs with avg target-vs-corpus log-likelihood ratio >= this")
     args = ap.parse_args()
 
     spark = (
@@ -181,6 +199,8 @@ def main() -> None:
         total_fraction=args.total_fraction,
         budget=args.budget,
         epochs=json.loads(args.epochs) if args.epochs else None,
+        dsir_source=args.dsir_source,
+        dsir_min=args.dsir_min,
     )
     counts = {}
     for name, df in out.items():

@@ -51,3 +51,25 @@ def test_job_cli_writes_artifacts(tmp_path):
     manifest = json.loads((out / "manifest.json").read_text())
     assert manifest["rows"]["kept"] > 0 and manifest["rows"]["stats"] > 0
     assert (out / "packed").exists()
+
+
+def test_build_with_dsir_selection(spark):
+    """The optional DSIR stage keeps the exemplar source intact, filters
+    other sources by the likelihood-ratio floor, and never duplicates."""
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_prep_job import build
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    base = build(spark, corpus, bench)
+    sel = build(spark, corpus, bench, dsir_source="src0", dsir_min=0.05)
+    n_base = {r.doc_id for r in base["kept"].collect()}
+    kept = sel["kept"].collect()
+    ids = [r.doc_id for r in kept]
+    assert len(ids) == len(set(ids))                      # no duplicates
+    assert {r.doc_id for r in kept} <= n_base             # selection only removes
+    srcs = {r.source for r in kept}
+    assert "src0" in srcs                                 # exemplar survives
+    # a positive floor must actually cut something at this SF
+    assert len(kept) < len(n_base)
