@@ -254,9 +254,12 @@ def chunk_token_stream_global(
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(tokens_col).alias("_toks"),
-        F.size(tokens_col).cast("bigint").alias("_n"),
-    )
-    with_off = _global_prefix_sum(base, ["_id"], "_n", "_off").filter(F.col("_n") > 0)
+        # size() is -1 for a NULL array — coalesce to 0 and drop empty docs
+        # BEFORE the prefix sum, or a null-array doc would contribute -1 to
+        # the global offsets and shift every later chunk by one token.
+        F.greatest(F.size(tokens_col).cast("bigint"), F.lit(0).cast("bigint")).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    with_off = _global_prefix_sum(base, ["_id"], "_n", "_off")
     first_c = F.floor(F.col("_off") / max_len)
     last_c = F.floor((F.col("_off") + F.col("_n") - 1) / max_len)
     seg = with_off.select(

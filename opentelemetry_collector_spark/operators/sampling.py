@@ -309,6 +309,12 @@ def token_budget_sample(
     cluster sizes all cut the same prefix, and growing OTHER strata never
     changes this stratum's kept set.
 
+    NULL strata are EXCLUDED from the output (same contract as
+    :func:`epoch_replicate`'s weight-0 drop): the per-stratum start-offset
+    equi-join never matches a NULL key, so rows with a NULL stratum cannot
+    receive a budget and are dropped.  Filter or coalesce the stratum column
+    upstream if NULL should form its own stratum.
+
     Plan — the 100 TB shape: ONE two-phase global prefix sum over the order
     (stratum, bucket, id) (``packing._global_prefix_sum``: range-repartition
     + per-partition totals + broadcast offsets — never a per-stratum

@@ -7,6 +7,17 @@ Everything is built-in Spark expressions (codegen, no UDFs); the char-level
 rolling hash is expressed with ``aggregate`` over ``sequence`` so it is also
 reproducible in the DuckDB oracle — at scale you'd swap it for ``xxhash64``
 (same API shape, noted per function).
+
+Cache lifetime: the LM-score operators (``unigram_logprob``,
+``bigram_logprob``, ``ccnet_buckets``, ``dsir_weight``) ``persist()``
+vocabulary/score frames that feed multiple consumers inside one returned
+plan.  The CALLER owns the cache lifetime — these frames are vocab-sized
+(MEMORY_AND_DISK default, LRU-evicted under pressure) and are intentionally
+not unpersisted here because the returned DataFrame is lazy: the caller
+materializes it at an unknown later point, and an eager unpersist would
+reintroduce the duplicate-subtree evaluation the persist exists to prevent.
+Long-lived sessions sweeping many operators should call
+``spark.catalog.clearCache()`` between sweeps (the oracle gate does).
 """
 
 from __future__ import annotations

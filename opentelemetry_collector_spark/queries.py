@@ -3555,7 +3555,6 @@ _DRIVER_PRIORITY = [
     "hist_quantile",
     "agg_approx_distinct_audit",
     "agg_approx_quantile_audit",
-    "text_unigram_logprob",
     "text_boilerplate_ratio",
     "log_recombine_multiline",
     "log_severity_map",
@@ -3564,6 +3563,13 @@ _DRIVER_PRIORITY = [
 
 
 def _reorder_for_driver() -> None:
+    # the driver materializes only the FIRST 50 keys; a duplicate entry makes
+    # the hand-counted front block silently shorter than intended
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY), sorted(
+        k for k in _DRIVER_PRIORITY if _DRIVER_PRIORITY.count(k) > 1
+    )
+    unknown = [k for k in _DRIVER_PRIORITY if k not in QUERIES]
+    assert not unknown, f"_DRIVER_PRIORITY names unregistered keys: {unknown}"
     order = [k for k in _DRIVER_PRIORITY if k in QUERIES]
     order += [k for k in QUERIES if k not in set(order)]
     for d in (QUERIES, ORACLES):

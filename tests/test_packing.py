@@ -109,6 +109,23 @@ def test_chunk_global_matches_single_stream_reference(spark):
     assert out == want
 
 
+def test_chunk_global_ignores_null_and_empty_token_arrays(spark):
+    """A NULL tokens array (size() = -1) must not shift the global prefix
+    sum: output with null/empty docs interleaved equals output without them."""
+    from opentelemetry_collector_spark.operators.packing import chunk_token_stream_global
+
+    rows = [(i, list(range(i * 100, i * 100 + ln))) for i, ln in enumerate([7, 13, 5, 29])]
+    clean = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    dirty = spark.createDataFrame(
+        rows + [(1_000, None), (2, None), (10, [])],
+        "doc_id int, tokens array<int>",
+    )
+    cols = ["chunk_id", "chunk_md5", "n_tok"]
+    a = chunk_token_stream_global(clean.filter(F.col("doc_id") != 2), max_len=10).select(cols)
+    b = chunk_token_stream_global(dirty.filter(F.col("doc_id") != 2), max_len=10).select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_epoch_shuffle_total_deterministic_permutation(spark, seqs):
     from opentelemetry_collector_spark.operators.packing import epoch_shuffle
 

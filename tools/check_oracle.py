@@ -53,6 +53,10 @@ def main():
             sdf = QUERIES[k](spark, SF)
             srows = sdf.collect()
             scols = sdf.columns
+            # operators persist() vocab/score frames internally (documented
+            # caller-owned lifetime); drop them between keys so the 110-key
+            # sweep doesn't accumulate executor memory
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {k}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
