@@ -396,15 +396,36 @@ def simhash_banded_pairs(
 
 
 def _dup_window_frames(
-    df: DataFrame, id_col: str, text_col: str, k: int, min_df: int
+    df: DataFrame, id_col: str, text_col: str, k: int, min_df: int,
+    max_df: int | None = None,
 ):
     """Shared single-digest-pass ladder for the duplicate-span operators:
     k-word window md5 digests + positions (one posexplode), grouped to one
-    row per (digest, doc) with that doc's position list, document frequency
-    from a count window over the digest partition.  Returns
-    (base(id, n_words, _w, _sh), dup(h, id, _ps, _df))."""
-    from pyspark.sql import Window
+    row per (digest, doc) with that doc's position list, then the ≥ *min_df*
+    document-frequency gate.  Returns
+    (base(id, n_words, _w, _sh), dup(h, id, _ps, _df)).
 
+    ``max_df`` (τ) is the 100 TB skew control, the same broadcast hot-set
+    pattern as :func:`ngram_jaccard_pairs`'s shingle cap: a boilerplate
+    digest shared by 10⁶ docs must never concentrate its rows on one task.
+
+    - ``max_df=None``: document frequency from a count window over the
+      digest partition — exact, but a hot digest pins one task (fine at
+      verification scale only).
+    - ``max_df=τ`` (τ ≥ min_df): digest df comes from a hash AGGREGATE
+      (map-side partial combine — a hot key contributes one partial row per
+      task, never a windowed buffer).  Digests with df > τ form the hot set
+      (≤ #windows/τ rows by construction, so it broadcasts); their rows are
+      *known duplicates* — df > τ ≥ min_df — and skip the df join entirely
+      via a broadcast semi-join, with _df CLAMPED to τ (clamp, don't drop:
+      a span above the cap is a certain dup, so the ≥ min_df semantics are
+      preserved exactly).  Cold digests (df ≤ τ) equi-join their exact df —
+      bounded at τ rows per key, so no task can be pinned.  Output is
+      provably identical to the uncapped form for every τ ≥ min_df.
+
+    The (digest, doc) frame is persisted on the capped path (three
+    consumers: df aggregate, hot semi-join, cold anti-join) — caller-owned
+    lifetime, same contract as the textstats vocab caches."""
     staged = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("_w"))
     w = F.col("_w")
     windows = F.when(
@@ -419,10 +440,30 @@ def _dup_window_frames(
     per_doc = pos_h.groupBy("h", "id").agg(
         F.collect_list(F.col("pos").cast("long")).alias("_ps")
     )
-    dup = per_doc.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).filter(F.col("_df") >= min_df)
-    return base, dup
+    if max_df is None:
+        from pyspark.sql import Window
+
+        dup = per_doc.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        ).filter(F.col("_df") >= min_df)
+        return base, dup
+    if max_df < min_df:
+        raise ValueError(
+            f"max_df ({max_df}) must be ≥ min_df ({min_df}): a digest above "
+            "the cap must be a certain duplicate for the clamp to be exact"
+        )
+    per_doc = per_doc.persist()
+    dfreq = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    hot = dfreq.filter(F.col("_df") > max_df).select("h")
+    dup_hot = per_doc.join(F.broadcast(hot), "h", "left_semi").withColumn(
+        "_df", F.lit(max_df).cast("long")
+    )
+    dup_cold = (
+        per_doc.join(F.broadcast(hot), "h", "left_anti")
+        .join(dfreq, "h")
+        .filter(F.col("_df") >= min_df)
+    )
+    return base, dup_hot.unionByName(dup_cold)
 
 
 def duplicate_span_stats(
@@ -431,6 +472,7 @@ def duplicate_span_stats(
     text_col: str,
     k: int = 8,
     min_df: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact duplicate-SPAN exposure (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better", public): per document, how
@@ -451,13 +493,13 @@ def duplicate_span_stats(
        the SORTED flattened position list (aggregate with a
        (total, prev_end) struct accumulator — pure codegen, no UDF).
     Shuffles carry (digest, doc, positions) rows only.  At 100 TB swap the
-    md5 for xxhash64 (engine-native) and df-cap the digest table's zipf
-    head exactly like the shingle verify — the count window concentrates a
-    hot digest on one task, so the cap is the skew control too.  Docs
-    shorter than k words report 0.
+    md5 for xxhash64 (engine-native) and pass ``max_df`` — the broadcast
+    hot-set clamp in :func:`_dup_window_frames` that keeps a boilerplate
+    digest's zipf head off any single task (provably identical output for
+    any τ ≥ min_df).  Docs shorter than k words report 0.
 
     Returns (id, n_words, dup_tokens, dup_span_ratio)."""
-    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df)
+    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df, max_df)
     init = F.struct(
         F.lit(0).cast("long").alias("t"), F.lit(-(k + 1)).cast("long").alias("e")
     )
@@ -491,6 +533,7 @@ def remove_duplicate_spans(
     text_col: str,
     k: int = 8,
     min_df: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact duplicate-SPAN removal (the action Lee et al. 2021 take on the
     signal :func:`duplicate_span_stats` measures): excise from every
@@ -505,9 +548,11 @@ def remove_duplicate_spans(
     canonicalizer and an independent engine can value-check contents
     without comparing raw arrays); fully-covered docs report n_kept=0 with
     md5('').  Shuffles carry (doc, digest)/(doc, pos) rows only — linear.
+    ``max_df`` enables the broadcast hot-set df clamp (see
+    :func:`_dup_window_frames`) — identical output, skew-proof at 100 TB.
 
     Returns (id, n_words, n_kept, clean_md5)."""
-    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df)
+    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df, max_df)
     cov = (
         dup.select("id", F.explode("_ps").alias("p"))
         .select(

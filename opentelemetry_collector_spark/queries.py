@@ -1450,11 +1450,13 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing verbatim in ≥2 distinct documents.  Window digests + one df
     aggregate + an exact interval-union fold over sorted positions (struct
     accumulator, pure codegen); the oracle replays windows, df, and the
-    fold in SQL."""
+    fold in SQL.  max_df=2 engages the broadcast hot-set df clamp (digests
+    with df > τ are certain dups and skip the df join — the 100 TB skew
+    control; output provably identical to uncapped for any τ ≥ min_df)."""
     from .operators.dedup import duplicate_span_stats
 
     return duplicate_span_stats(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_df=2
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_df=2, max_df=2
     ).withColumnRenamed("id", "doc_id")
 
 
@@ -1540,11 +1542,12 @@ def text_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     run shared with ≥2 docs; emit kept counts + an md5 of the cleaned text
     so the oracle value-checks contents through a scalar.  Single digest
     pass shared with the stats key; covered positions anti-join the token
-    stream on (doc, pos)."""
+    stream on (doc, pos).  max_df=2 engages the broadcast hot-set df clamp
+    (see text_dup_spans) — identical output, skew-proof digest table."""
     from .operators.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_df=2
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_df=2, max_df=2
     ).withColumnRenamed("id", "doc_id")
 
 

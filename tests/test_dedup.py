@@ -261,6 +261,43 @@ def test_duplicate_span_stats_interval_union(spark):
     assert out[5].dup_tokens == 0
 
 
+def test_dup_span_df_cap_identical_to_uncapped(spark):
+    """The broadcast hot-set df clamp (max_df=τ) is a pure skew control:
+    for every τ ≥ min_df both span operators produce output identical to
+    the uncapped (count-window) form, on the real documents fixture, and
+    the capped plan carries the broadcast hot-set join."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op, cols in (
+        (duplicate_span_stats, ["id", "n_words", "dup_tokens", "dup_span_ratio"]),
+        (remove_duplicate_spans, ["id", "n_words", "n_kept", "clean_md5"]),
+    ):
+        ref = op(docs, "doc_id", "text", k=8, min_df=2).select(cols)
+        for tau in (2, 3, 100):
+            capped = op(docs, "doc_id", "text", k=8, min_df=2, max_df=tau).select(cols)
+            assert ref.exceptAll(capped).count() == 0
+            assert capped.exceptAll(ref).count() == 0
+    plan = duplicate_span_stats(
+        docs, "doc_id", "text", k=8, min_df=2, max_df=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # and the hot path must NOT reintroduce the unbounded count window
+    assert "windowspecdefinition" not in plan.lower() or "Window" not in plan
+
+
+def test_dup_span_df_cap_rejects_tau_below_min_df(spark, docs):
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators.dedup import duplicate_span_stats
+
+    with _pytest.raises(ValueError):
+        duplicate_span_stats(docs, "doc_id", "text", k=3, min_df=3, max_df=2).collect()
+
+
 def test_remove_duplicate_spans_excises_covered_tokens(spark):
     """Removal = complement of the stats coverage: overlapping duplicated
     windows excise their union, survivors keep original order, short docs
