@@ -420,3 +420,151 @@ def dsir_weight(corpus, target, id_col: str, text_col: str):
             "avg_llr"
         ),
     )
+
+
+def bucket_code(word: Column, n_buckets: int) -> Column:
+    """Portable hashed-ngram bucket: polynomial char hash mod 1e9+7, folded
+    into ``n_buckets`` — the DSIR paper's fixed hash space (Xie et al. 2023
+    §2.2 use hashed n-grams into 10k buckets).  Same char fold as
+    :func:`word_codes`, so the DuckDB oracle replays it with list_reduce."""
+    return F.pmod(
+        F.aggregate(
+            F.split(word, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(MOD)),
+        ),
+        F.lit(n_buckets),
+    )
+
+
+def _bucket_lm(df, text_col: str, n_buckets: int):
+    """(b, c): bucket-count LM over one corpus — explode + hash aggregate.
+    Map-side partial combine means the Exchange carries ≤ n_buckets rows per
+    task no matter how big or skewed the corpus is."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("_wd"))
+        .select(bucket_code(F.col("_wd"), n_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _dense_q_array(entries, n_buckets: int, q_col: str = "q") -> "DataFrame":
+    """Fold a (b, q) bucket table into ONE row holding a dense array<long>
+    indexed by bucket — the broadcastable literal form of a fixed-size LM.
+    Buckets absent from ``entries`` fill with 0; scoring never looks them up
+    (every scored token's bucket is in the corpus LM by construction)."""
+    qmap = entries.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b").cast("int").alias("b"), F.col(q_col)))
+        ).alias("_m")
+    )
+    return qmap.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+        ).alias("_qs")
+    )
+
+
+def dsir_weight_hashed(corpus, target, id_col: str, text_col: str, n_buckets: int = 10_000):
+    """DSIR importance weight over a FIXED hashed-bucket space — the paper's
+    actual construction (Xie et al. 2023 §2.2: hash features into B≈10k
+    buckets, fit the two bag-of-buckets LMs, weight = likelihood ratio).
+
+    avg_llr = mean over tokens w, b = hash(w) mod B, of
+        log2((c_target(b)+1)/(N_target+B)) − log2((c_corpus(b)+1)/(N_corpus+B))
+
+    Same smoothing shape as :func:`dsir_weight` but over the fixed B-bucket
+    space, so V = B is a plan-time constant and BOTH LMs are bounded tables.
+
+    The 100 TB win over :func:`dsir_weight`: the full corpus stream never
+    shuffles.  The two LM builds are hash aggregates whose Exchanges carry
+    ≤ B rows per task (map-side combine); the per-bucket log-ratio is
+    micro-quantized to int64 (deterministic per bucket — the same
+    order-insensitive integer-sum trick as the exact variant) and folded
+    into ONE dense array<long> row, broadcast into the scoring pass
+    (1-row nested-loop — the declared scalar pattern).  Scoring is then a
+    pure codegen projection per document — transform tokens → buckets →
+    element_at into the array (O(1) dense index, not a map scan) →
+    integer-sum fold — with NO explode, NO token join, and NO groupBy: the
+    plan has no Exchange anywhere on the corpus side (pytest-asserted).
+
+    Returns (id, n_tok, avg_llr) — same schema as :func:`dsir_weight`."""
+    cc = _bucket_lm(corpus, text_col, n_buckets).persist()  # B-row dictionary
+    ct = _bucket_lm(target, text_col, n_buckets).persist()
+    nc = cc.agg(F.sum("c").alias("nc"))
+    nt = ct.agg(F.sum("c").alias("nt"))
+    entries = (
+        cc.join(ct.withColumnRenamed("c", "_ct"), "b", "left")
+        .join(F.broadcast(nc))
+        .join(F.broadcast(nt))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log2(
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("nt") + n_buckets).cast("double")
+                    )
+                    - F.log2(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("nc") + n_buckets).cast("double")
+                    )
+                )
+                * F.lit(1e6),
+                0,
+            ).cast("long").alias("q"),
+        )
+    )
+    qs = _dense_q_array(entries, n_buckets)
+    staged = corpus.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    scored = staged.join(F.broadcast(qs))
+    sum_q = F.aggregate(
+        F.transform(
+            F.col("_w"),
+            lambda wd: F.element_at(F.col("_qs"), (bucket_code(wd, n_buckets) + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return scored.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tok"),
+        (F.round(sum_q / F.lit(1e6) / F.size("_w"), 4) + F.lit(0.0)).alias("avg_llr"),
+    )
+
+
+def unigram_logprob_hashed(df, id_col: str, text_col: str, n_buckets: int = 10_000):
+    """:func:`unigram_logprob` over the same fixed hashed-bucket space as
+    :func:`dsir_weight_hashed` — the corpus unigram LM becomes a bounded
+    B-bucket table folded into one broadcast array<long> of micro-quantized
+    log2-counts, and scoring is a pure codegen projection: no token-keyed
+    shuffle of the corpus stream, no per-doc groupBy (the doc's own token
+    array is folded in place).  Bucket collisions merge rare tokens' counts
+    — the standard hashed-feature trade (Xie et al. 2023 accept it at B=10k).
+
+    avg_logp = (Σ_w round(log2(c(b(w)))·1e6)/1e6) / n − log2(N)
+
+    Returns (id, n_tok, avg_logp) — same shape as :func:`unigram_logprob`."""
+    cb = _bucket_lm(df, text_col, n_buckets).persist()
+    total = cb.agg(F.sum("c").alias("ntot"))
+    entries = cb.select("b", F.round(F.log2("c") * F.lit(1e6), 0).cast("long").alias("q"))
+    qs = _dense_q_array(entries, n_buckets)
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    scored = staged.join(F.broadcast(qs)).join(F.broadcast(total))
+    sum_q = F.aggregate(
+        F.transform(
+            F.col("_w"),
+            lambda wd: F.element_at(F.col("_qs"), (bucket_code(wd, n_buckets) + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return scored.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tok"),
+        (
+            F.round(sum_q / F.lit(1e6) / F.size("_w") - F.log2("ntot"), 4) + F.lit(0.0)
+        ).alias("avg_logp"),
+    )

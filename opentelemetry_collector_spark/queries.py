@@ -1503,6 +1503,82 @@ def text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# word → fixed-B hashed bucket (DSIR construction): the portable char fold
+# of _WORD_CODES_SQL followed by mod B, applied to every word of `text`
+_BUCKETS_SQL = """
+  list_transform(string_split(text, ' '), w ->
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(w)+1), i -> CAST(ascii(substr(w,i,1)) AS BIGINT))),
+      (acc, x) -> (acc*31 + x) %% 1000000007) %% %(B)d)
+""" % {"B": 10_000}
+
+
+@_q(
+    "text_dsir_weight_hashed",
+    f"""
+    WITH c AS (SELECT doc_id, {_BUCKETS_SQL} AS bs
+               FROM documents WHERE source <> 'src0'),
+    t AS (SELECT {_BUCKETS_SQL} AS bs FROM documents WHERE source = 'src0'),
+    cc AS (SELECT b, count(*) AS cc FROM (SELECT unnest(bs) AS b FROM c) GROUP BY b),
+    ct AS (SELECT b, count(*) AS ct FROM (SELECT unnest(bs) AS b FROM t) GROUP BY b),
+    nc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM cc),
+    nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
+    q AS (SELECT cc.b,
+                 CAST(ROUND((log2(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / (nt.nt + 10000))
+                   - log2(CAST(cc.cc + 1 AS DOUBLE) / (nc.nc + 10000))) * 1e6) AS BIGINT) AS q
+          FROM cc LEFT JOIN ct USING (b), nc, nt),
+    s AS (SELECT c.doc_id, unnest(c.bs) AS b FROM c)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           ROUND(CAST(sum(q.q) AS BIGINT) / 1e6 / count(*), 4) + 0.0 AS avg_llr
+    FROM s JOIN q USING (b) GROUP BY s.doc_id
+    """,
+)
+def text_dsir_weight_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight over the paper's FIXED 10k hashed-bucket space
+    (Xie et al. 2023 §2.2) — both LMs become bounded B-row tables folded
+    into one broadcast array<long> of micro-quantized log-ratios; scoring is
+    a pure codegen projection per document (transform tokens → buckets →
+    dense-array lookup → integer fold).  Unlike text_dsir_weight, the corpus
+    stream is NEVER shuffled: no token-keyed join, no per-doc groupBy — the
+    plan has no Exchange on the scored side (pytest-asserted)."""
+    from .operators.textstats import dsir_weight_hashed
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weight_hashed(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n_buckets=10_000,
+    )
+
+
+@_q(
+    "text_unigram_logprob_hashed",
+    f"""
+    WITH d AS (SELECT doc_id, {_BUCKETS_SQL} AS bs FROM documents),
+    cb AS (SELECT b, count(*) AS c FROM (SELECT unnest(bs) AS b FROM d) GROUP BY b),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntot FROM cb),
+    q AS (SELECT b, CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS q FROM cb),
+    s AS (SELECT doc_id, unnest(bs) AS b FROM d)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           ROUND(CAST(sum(q.q) AS BIGINT) / 1e6 / count(*) - log2(tot.ntot), 4) + 0.0
+             AS avg_logp
+    FROM s JOIN q USING (b), tot GROUP BY s.doc_id, tot.ntot
+    """,
+)
+def text_unigram_logprob_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score over the same fixed 10k hashed-bucket space:
+    the vocabulary collapses to a broadcast dense array of quantized
+    log2-counts and each document folds its own token array in place — the
+    100 TB form of text_unigram_logprob with zero corpus-side Exchange."""
+    from .operators.textstats import unigram_logprob_hashed
+
+    return unigram_logprob_hashed(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=10_000
+    )
+
+
 @_q(
     "text_dup_spans_removed",
     """

@@ -172,3 +172,86 @@ def test_dsir_weight_ranks_target_like_docs_higher(spark):
     assert all(math.isfinite(r.avg_llr) for r in out.values())
     assert out[1].avg_llr > out[3].avg_llr > out[2].avg_llr
     assert out[1].n_tok == 4 and out[2].n_tok == 5
+
+
+def test_dsir_hashed_ranks_and_matches_python_model(spark):
+    """The hashed-bucket DSIR variant preserves the ranking signal and
+    reproduces a pure-python replay of the bucketed construction exactly."""
+    import math
+    from collections import Counter
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        MOD,
+        dsir_weight_hashed,
+    )
+
+    B = 64  # small B so collisions actually occur in the test
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta"), (101, "beta gamma delta")],
+        "doc_id int, text string",
+    )
+    rows = [
+        (1, "alpha beta gamma beta"),
+        (2, "zeta eta theta iota kappa"),
+        (3, "alpha zeta beta eta"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in dsir_weight_hashed(corpus, target, "doc_id", "text", n_buckets=B).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].avg_llr > out[3].avg_llr > out[2].avg_llr
+
+    def bucket(w):
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % MOD
+        return h % B
+
+    cc = Counter(bucket(w) for _, t in rows for w in t.split(" "))
+    tgt = ["alpha beta gamma alpha beta", "beta gamma delta"]
+    ct = Counter(bucket(w) for t in tgt for w in t.split(" "))
+    nc, nt = sum(cc.values()), sum(ct.values())
+    q = {
+        b: round(
+            (math.log2((ct.get(b, 0) + 1) / (nt + B)) - math.log2((c + 1) / (nc + B))) * 1e6
+        )
+        for b, c in cc.items()
+    }
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        want = round(sum(q[bucket(w)] for w in ws) / 1e6 / len(ws), 4) + 0.0
+        assert out[doc_id].avg_llr == want and out[doc_id].n_tok == len(ws)
+
+
+def test_hashed_lm_scoring_has_no_corpus_side_exchange(spark):
+    """THE scale property of the hashed variants: the exact forms shuffle
+    the corpus twice (token-keyed vocab join + per-doc groupBy); the hashed
+    forms must shuffle it zero times — every Exchange in the plan belongs to
+    the bounded B-row LM build, never to the scored document stream."""
+    from opentelemetry_collector_spark.operators.textstats import (
+        dsir_weight_hashed,
+        unigram_logprob_hashed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashed = dsir_weight_hashed(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+    )
+    uni = unigram_logprob_hashed(docs, "doc_id", "text")
+    for plan in (
+        hashed._jdf.queryExecution().executedPlan().toString(),
+        uni._jdf.queryExecution().executedPlan().toString(),
+    ):
+        # the scored stream is never repartitioned by token or by doc
+        assert "hashpartitioning(tok" not in plan
+        assert "hashpartitioning(doc_id" not in plan
+        assert "hashpartitioning(_wd" not in plan
+        # LM build aggregates on the bucket id are the only wide ops
+        assert "hashpartitioning(b" in plan
+        # scoring side reaches the scan through a 1-row broadcast
+        assert "BroadcastNestedLoopJoin" in plan
