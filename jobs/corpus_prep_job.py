@@ -7,9 +7,10 @@
 The deployable form of the value-checked `corpus_prep_e2e` driver key
 (queries.py): benchmark decontamination → exact dedup → minhash-LSH
 candidates → df-capped Jaccard verify → connected-components transitive
-clustering → Gopher quality gates → deterministic mixture rebalance →
-(optional) per-source token-budget cut → (optional) fractional-epoch
-replication → leak-proof hash split → greedy packing.  Every stage is the
+clustering → duplicate-span removal (df-capped digest table) → Gopher
+quality gates → deterministic mixture rebalance → (optional) per-source
+token-budget cut → (optional) fractional-epoch replication → leak-proof
+hash split → greedy packing.  Every stage is the
 same operator the driver gate value-checks at sf0.01; this script only
 composes them over a real table and commits the artifacts:
 
@@ -42,6 +43,9 @@ def build(
     max_len: int = 512,
     jaccard: float = 0.5,
     max_df: int = 64,
+    dup_span_k: int = 8,
+    dup_span_df: int = 2,
+    dup_span_max_df: int = 64,
     mixture: dict[str, float] | None = None,
     total_fraction: float = 0.5,
     budget: int | None = None,
@@ -64,6 +68,7 @@ def build(
         lsh_candidate_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
+        remove_duplicate_spans,
     )
     from opentelemetry_collector_spark.operators.packing import (
         pack_sequences,
@@ -96,6 +101,21 @@ def build(
         F.col("node").alias("doc_id")
     )
     kept = surv.join(drops, "doc_id", "left_anti")
+
+    if dup_span_k:
+        # duplicate-SPAN removal (Lee et al. 2021): strip >= k-word runs
+        # shared by >= dup_span_df surviving docs before the quality gates.
+        # dup_span_max_df is the broadcast hot-set clamp on the digest table
+        # (identical output, no task pinned by a boilerplate digest at scale)
+        spans = remove_duplicate_spans(
+            kept, "doc_id", "text",
+            k=dup_span_k, min_df=dup_span_df,
+            max_df=max(dup_span_max_df, dup_span_df), with_text=True,
+        )
+        kept = kept.select("doc_id", "source").join(
+            spans.select(F.col("id").alias("doc_id"), F.col("clean_text").alias("text")),
+            "doc_id",
+        )
 
     rep = repetition_stats(kept, "doc_id", "text")
     ok = rep.filter(
@@ -165,6 +185,12 @@ def main() -> None:
     ap.add_argument("--bench-max-id", type=int, default=20)
     ap.add_argument("--output", required=True, help="artifact root directory")
     ap.add_argument("--max-len", type=int, default=512)
+    ap.add_argument("--dup-span-k", type=int, default=8,
+                    help="duplicate-span removal window (words); 0 disables the stage")
+    ap.add_argument("--dup-span-df", type=int, default=2,
+                    help="min distinct docs sharing a k-word run for it to be excised")
+    ap.add_argument("--dup-span-max-df", type=int, default=64,
+                    help="broadcast hot-set clamp on the span digest table (skew control)")
     ap.add_argument("--mixture", default=None, help='JSON, e.g. {"src0":0.25,...}')
     ap.add_argument("--total-fraction", type=float, default=0.5)
     ap.add_argument("--budget", type=int, default=None, help="per-source char budget")
@@ -195,6 +221,9 @@ def main() -> None:
     out = build(
         spark, corpus, bench,
         max_len=args.max_len,
+        dup_span_k=args.dup_span_k,
+        dup_span_df=args.dup_span_df,
+        dup_span_max_df=args.dup_span_max_df,
         mixture=json.loads(args.mixture) if args.mixture else None,
         total_fraction=args.total_fraction,
         budget=args.budget,

@@ -534,6 +534,7 @@ def remove_duplicate_spans(
     k: int = 8,
     min_df: int = 2,
     max_df: int | None = None,
+    with_text: bool = False,
 ) -> DataFrame:
     """Exact duplicate-SPAN removal (the action Lee et al. 2021 take on the
     signal :func:`duplicate_span_stats` measures): excise from every
@@ -551,7 +552,10 @@ def remove_duplicate_spans(
     ``max_df`` enables the broadcast hot-set df clamp (see
     :func:`_dup_window_frames`) — identical output, skew-proof at 100 TB.
 
-    Returns (id, n_words, n_kept, clean_md5)."""
+    Returns (id, n_words, n_kept, clean_md5); with ``with_text`` also the
+    reconstructed ``clean_text`` itself (the pipeline form — downstream
+    quality gates and packing consume the cleaned document, md5 is the
+    value-check form of the same string)."""
     base, dup = _dup_window_frames(df, id_col, text_col, k, min_df, max_df)
     cov = (
         dup.select("id", F.explode("_ps").alias("p"))
@@ -567,23 +571,23 @@ def remove_duplicate_spans(
     kept = toks.join(cov, ["id", "pos"], "left_anti")
     agg = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-            )
-        ).alias("clean_md5"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("_ct"),
     )
-    return (
+    out = (
         base.select("id", "n_words")
         .join(agg, "id", "left")
         .select(
             "id",
             "n_words",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+            F.md5(F.coalesce("_ct", F.lit(""))).alias("clean_md5"),
+            F.coalesce("_ct", F.lit("")).alias("clean_text"),
         )
     )
+    return out if with_text else out.drop("clean_text")

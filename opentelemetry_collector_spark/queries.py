@@ -1870,9 +1870,34 @@ def dedup_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e2.b AS node, r.comp FROM reach r JOIN e2 ON e2.a = r.node),
     compo AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
     dropped AS (SELECT node FROM compo WHERE node <> component),
-    kept AS (SELECT doc_id, text, source FROM docs
+    kept AS MATERIALIZED (SELECT doc_id, text, source FROM docs
              WHERE doc_id NOT IN (SELECT node FROM dropped)),
-    rw AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM kept),
+    kw AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+    ksh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+          i -> {'pos': i, 'h': md5(array_to_string(w[i:i+7], ' '))})) AS p
+      FROM kw WHERE len(w) >= 8),
+    ksh2 AS MATERIALIZED (SELECT doc_id, p.pos AS pos, p.h AS h FROM ksh),
+    kdup AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM ksh2)
+      GROUP BY h HAVING count(*) >= 2),
+    kcov AS (
+      SELECT DISTINCT s.doc_id, s.pos + u.i AS cpos
+      FROM ksh2 s JOIN kdup USING (h), unnest(range(8)) AS u(i)),
+    ktok AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                                           i -> {'pos': i, 'w': w[i]})) AS tw
+      FROM kw),
+    ktok2 AS (SELECT doc_id, tw.pos AS pos, tw.w AS w FROM ktok),
+    kclean AS (
+      SELECT ktok2.doc_id, string_agg(ktok2.w, ' ' ORDER BY ktok2.pos) AS ct
+      FROM ktok2
+      ANTI JOIN kcov ON ktok2.doc_id = kcov.doc_id AND ktok2.pos = kcov.cpos
+      GROUP BY ktok2.doc_id),
+    cleaned AS (
+      SELECT k.doc_id, COALESCE(kclean.ct, '') AS text, k.source
+      FROM kept k LEFT JOIN kclean USING (doc_id)),
+    rw AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM cleaned),
     rs AS (
       SELECT doc_id, source, text, len(w) AS n_words,
              CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1),
@@ -1943,11 +1968,15 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. corpus clean, LSH-gated + transitive: exact dedup → minhash-LSH
        candidates → df-capped exact-Jaccard verify → connected components
        → keep the min-id member per near-dup cluster;
-    3. Gopher-style quality gates (n_words ≥ 10, dup-3-gram ratio ≤ 0.3);
-    4. deterministic mixture rebalance toward a uniform 4-source target
+    3. duplicate-SPAN removal (Lee et al. 2021 substring dedup, df-capped
+       digest table): strip ≥8-word runs shared by ≥2 surviving docs —
+       the boilerplate that document-level dedup cannot reach;
+    4. Gopher-style quality gates over the CLEANED text (n_words ≥ 10,
+       dup-3-gram ratio ≤ 0.3);
+    5. deterministic mixture rebalance toward a uniform 4-source target
        (≤ 50 % of the gated corpus, exact rational thresholds);
-    5. leak-proof hash split 80/10/5 (5 % held out);
-    6. greedy sample-packing into ≤512-token bins per (split, source,
+    6. leak-proof hash split 80/10/5 (5 % held out);
+    7. greedy sample-packing into ≤512-token bins per (split, source,
        salt) group.
 
     Every stage is the same operator the standalone key checks; stages
@@ -1963,6 +1992,7 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidate_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
+        remove_duplicate_spans,
     )
     from .operators.packing import pack_sequences, packing_stats
     from .operators.sampling import hash_split, mixture_sample
@@ -1991,11 +2021,24 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = surv.join(drops, "doc_id", "left_anti")
 
-    rep = repetition_stats(kept, "doc_id", "text")
+    # 2b. duplicate-SPAN removal (Lee et al. 2021 substring dedup): excise
+    # ≥8-word runs shared by ≥2 surviving docs before the quality gates —
+    # document-level dedup keeps unique pages that still wrap boilerplate;
+    # this strips the boilerplate itself.  max_df=2 engages the broadcast
+    # hot-set df clamp (skew-proof digest table, provably identical output).
+    spans = remove_duplicate_spans(
+        kept, "doc_id", "text", k=8, min_df=2, max_df=2, with_text=True
+    )
+    cleaned = kept.select("doc_id", "source").join(
+        spans.select(F.col("id").alias("doc_id"), F.col("clean_text").alias("text")),
+        "doc_id",
+    )
+
+    rep = repetition_stats(cleaned, "doc_id", "text")
     ok = rep.filter(
         (F.col("n_words") >= 10) & (F.col("dup_3gram_ratio") <= 0.3)
     ).select("doc_id")
-    gated = kept.join(ok, "doc_id", "left_semi")
+    gated = cleaned.join(ok, "doc_id", "left_semi")
 
     w = {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src5": 0.25}
     mixed = mixture_sample(gated, "source", "doc_id", w, total_fraction=0.5)
