@@ -341,6 +341,75 @@ def test_streaming_tail_sampler_decision_wait(spark, tmp_path):
     assert got == {("t1", "s1"), ("t1", "s2")}
 
 
+def test_streaming_tail_sampler_out_of_order_replay(spark, tmp_path):
+    """Adversarial ordering: the kept-trace set must be IDENTICAL for every
+    micro-batch arrival order that respects the watermark contract (no span
+    later than the delay).  Spans interleave traces across batches, arrive
+    out of event-time order within traces, and the ERROR span that decides a
+    trace arrives in different batches per permutation."""
+    import itertools
+    import os
+    import time as _time
+
+    from opentelemetry_collector_spark.streaming.stateful import streaming_tail_sample
+
+    # three content batches + one far-future flush batch (always last)
+    batches = [
+        [("t1", "s1", "2024-01-01 00:00:01", "INFO"),
+         ("t3", "s4", "2024-01-01 00:00:07", "ERROR")],
+        [("t1", "s2", "2024-01-01 00:00:05", "ERROR"),
+         ("t4", "s7", "2024-01-01 00:00:04", "INFO"),
+         ("t5", "s8", "2024-01-01 00:00:08", "ERROR")],
+        [("t2", "s3", "2024-01-01 00:00:03", "INFO"),
+         ("t3", "s5", "2024-01-01 00:00:02", "INFO"),
+         ("t4", "s6", "2024-01-01 00:00:09", "INFO")],
+    ]
+    flush = [("t9", "s9", "2024-01-01 00:10:00", "INFO")]
+    want = {("t1", "s1"), ("t1", "s2"), ("t3", "s4"), ("t3", "s5"), ("t5", "s8")}
+
+    def run(order, name):
+        d = str(tmp_path / name)
+        seen: set[str] = set()
+        for i, rows in enumerate([batches[j] for j in order] + [flush]):
+            spark.createDataFrame(
+                rows, "trace_id string, span_id string, ts_s string, level string"
+            ).selectExpr(
+                "trace_id", "span_id", "cast(ts_s as timestamp) ts", "level"
+            ).coalesce(1).write.mode("append").parquet(d)
+            # pin arrival order: FileStreamSource sorts by modification time
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                if f.endswith(".parquet") and f not in seen:
+                    seen.add(f)
+                    os.utime(p, (_time.time(), 1_700_000_000 + i * 60))
+        stream = (
+            spark.readStream.schema(
+                "trace_id string, span_id string, ts timestamp, level string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withWatermark("ts", "60 seconds")  # ≥ batch spread: nothing is late
+        )
+        q = (
+            streaming_tail_sample(stream, decision_wait_ms=10_000, keep_levels=("ERROR",))
+            .writeStream.format("memory")
+            .queryName(f"tail_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["trace_id"], r["span_id"])
+            for r in spark.sql(f"SELECT trace_id, span_id FROM tail_{name}").collect()
+        }
+
+    for n, order in enumerate(itertools.permutations(range(3))):
+        if n % 2:  # 3 of the 6 permutations: identity, one swap, full reverse
+            continue
+        assert run(list(order), f"perm{n}") == want, f"order {order} diverged"
+
+
 def test_stream_applies_spec_chains(spark, tmp_path, seq_dir):
     """YAML-declared relabel/attraction chains run identically inside each
     micro-batch (batch/stream parity for the collector's processor config)."""
