@@ -88,7 +88,16 @@ HEADLINE = [
     "sample_epoch_replicate",
     "text_dup_spans_removed",
     "text_dsir_weight",
+    # r5 additions
+    "text_dsir_weight_hashed",
+    "text_unigram_logprob_hashed",
 ]
+
+# Keys slower than 1.5x their committed per-key baseline are flagged in the
+# output's `regressions` list (BENCH/query_baseline.json, recorded from the
+# r04 sweep).  1.5x sits above the documented same-host variance band so a
+# flag means a plan change, not noise.
+REGRESSION_RATIO = 1.5
 
 
 def materialize(df) -> None:
@@ -190,6 +199,23 @@ def main() -> None:
 
     thr = n_rows / best
 
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "query_baseline.json"
+    )
+    regressions = []
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        base_q = base.get("queries", {})
+        reshaped = base.get("reshaped", {})
+        for key, sec in qtimes.items():
+            ref = base_q.get(key)
+            if ref and sec > REGRESSION_RATIO * ref:
+                row = {"key": key, "sec": sec, "baseline": ref, "ratio": round(sec / ref, 2)}
+                if key in reshaped:  # documented intentional plan change
+                    row["expected"] = reshaped[key]
+                regressions.append(row)
+
     scaling = None
     scal_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
     if os.path.exists(scal_path):
@@ -213,6 +239,7 @@ def main() -> None:
                     "cores": cpus,
                 },
                 "scaling": scaling,
+                "regressions": regressions,
             }
         )
     )
