@@ -3613,74 +3613,66 @@ def route_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketing, OTTL-compiled keys, metrics_generation refactor, packing keys);
 # then r03-green re-confirmations.
 _DRIVER_PRIORITY = [
-    # (a) never driver-green — reshaped to scalar chunk_id/chunk_md5 this round
-    "chunk_token_stream",
-    # (b) edited round 3, driver-green only in r02 (VERDICT r3 task 2)
-    "join_asof",
-    "relabel_chain",
-    "dedup_ngram_jaccard",
-    # (c) new round 4
-    "corpus_prep_e2e",
-    "transform_ottl_parse",
-    "text_bigram_logprob",
-    "text_ccnet_buckets",
-    "ann_pq_topk",
-    "text_dup_spans",
-    "sample_token_budget",
-    "bpe_pair_topk",
-    "sample_epoch_replicate",
-    "text_dup_spans_removed",
-    "text_dsir_weight",
-    # (b) operator or oracle changed round 4
-    "group_by_attrs",
-    "hist_exponential",
-    "sample_epoch_shuffle",
-    "transform_ottl",
-    "filter_ottl",
-    "route_ottl",
-    "metrics_generation",
-    "pack_sequences",
-    "token_freq_topk",
-    "text_contamination",
-    "text_unigram_logprob",  # vocab persist + total-from-vocab (late round 4)
-    # (d) r03-green re-confirmations, heaviest/most-composed first
-    "dedup_corpus_keep_lsh",
-    "dedup_corpus_keep_cc",
-    "dedup_corpus_recall",
-    "dedup_corpus_keep",
-    "dedup_components",
-    "tail_sample_policies",
-    "dedup_embedding_cosine",
-    "dedup_embedding_recall",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_refined",
-    "mm_media_stats",
-    "mm_frame_sample",
-    "mm_resize",
-    "resume_ledger",
-    "stream_tumbling_counts",
-    "win_sliding_counts",
-    "session_window_agg",
-    "len_quantiles_by_source",
-    "sample_stratified",
-    "sample_mixture",
-    "sample_split",
-    "text_repetition",
-    "attr_redact_pii",
-    "span_metrics_red",
-    "metrics_transform",
-    "rate_counter_reset",
-    "text_entropy",
-    "trace_assemble",
-    "hist_quantile",
-    "agg_approx_distinct_audit",
-    "agg_approx_quantile_audit",
-    "text_boilerplate_ratio",
-    "log_recombine_multiline",
-    "log_severity_map",
-    "log_dedup_interval",
+    # Round-5 window policy (README §driver gate): never-green first (none —
+    # all 110 keys' latest driver rows are green), then operator-or-oracle-
+    # changed this round, then new keys, then re-confirmations oldest-green-
+    # first (the r02 tail — 2 rounds stale, due for re-confirmation).
+    # (b) operator or oracle changed round 5
+    "text_dup_spans",           # digest table df-capped (broadcast hot-set clamp)
+    "text_dup_spans_removed",   # df cap + clean_text emission
+    "corpus_prep_e2e",          # ladder grew the duplicate-span removal stage
+    "chunk_token_stream",       # null-array guard moved before the prefix sum
+    # (c) new round 5
+    "text_dsir_weight_hashed",
+    "text_unigram_logprob_hashed",
+    # (d) re-confirmations: every key below is r02-green (2 rounds stale),
+    # original r02 order; sink_debug (trivially stable) defers to slot 51
+    "scan_sequences",
+    "scan_normalize",
+    "parse_json_props",
+    "gen_synthetic",
+    "attr_insert",
+    "attr_update",
+    "attr_upsert",
+    "attr_delete",
+    "attr_hash",
+    "attr_convert",
+    "span_rename",
+    "parse_grok",
+    "scalar_suite",
+    "filter_include_exclude",
+    "sample_prob",
+    "tail_sample_semi_join",
+    "route_by_source",
+    "route_fanout",
+    "union_sources",
+    "route_exhaustive_check",
+    "agg_counts_by_source",
+    "agg_counts_by_sink",
+    "agg_rollup_counts",
+    "agg_latest_by_key",
+    "batch_size_stats",
+    "win_cumulative_sum",
+    "win_first_ts",
+    "win_rate_limit_topk",
+    "enrich_broadcast",
+    "join_star_schema",
+    "topk_slowest_partitions",
+    "sink_json",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "attr_map_suite",
+    "agg_distinct_by_source",
+    "win_delta_from_cumulative",
+    "time_rollup_cascade",
+    "dedup_simhash_pairs",
+    # ---- driver window boundary (50 keys above) ----
+    "sink_debug",
 ]
 
 
