@@ -46,6 +46,7 @@ def build(
     dup_span_k: int = 8,
     dup_span_df: int = 2,
     dup_span_max_df: int = 64,
+    dup_span_digest: str = "md5",
     mixture: dict[str, float] | None = None,
     total_fraction: float = 0.5,
     budget: int | None = None,
@@ -111,6 +112,7 @@ def build(
             kept, "doc_id", "text",
             k=dup_span_k, min_df=dup_span_df,
             max_df=max(dup_span_max_df, dup_span_df), with_text=True,
+            digest=dup_span_digest,
         )
         kept = kept.select("doc_id", "source").join(
             spans.select(F.col("id").alias("doc_id"), F.col("clean_text").alias("text")),
@@ -147,9 +149,11 @@ def build(
     if epochs:
         gated = epoch_replicate(gated, "source", "doc_id", epochs)
 
+    # three outputs (kept, packed, stats) all materialize independently;
+    # without this persist each write replays the entire ladder lineage
     split = hash_split(
         gated, "doc_id", splits or {"train": 0.8, "val": 0.1, "test": 0.05}
-    ).filter(F.col("split").isNotNull())
+    ).filter(F.col("split").isNotNull()).persist()
 
     epoch_tag = (
         F.concat_ws("#", F.col("doc_id").cast("string"), F.col("epoch").cast("string"))
@@ -166,7 +170,7 @@ def build(
     )
     packed = pack_sequences(
         docs, max_len=max_len, salt_buckets=8, source_col="grp", salt_mode="portable"
-    )
+    ).persist()  # stats folds over packed; don't re-pack
     stats = packing_stats(packed, max_len=max_len).select(
         F.substring_index("source", "|", 1).alias("split"),
         F.substring_index("source", "|", -1).alias("source"),
@@ -191,6 +195,9 @@ def main() -> None:
                     help="min distinct docs sharing a k-word run for it to be excised")
     ap.add_argument("--dup-span-max-df", type=int, default=64,
                     help="broadcast hot-set clamp on the span digest table (skew control)")
+    ap.add_argument("--dup-span-digest", default="md5", choices=["md5", "xxhash64"],
+                    help="window digest fn; xxhash64 is the scale form (8-byte "
+                         "longs through every shuffle), output-identical to md5")
     ap.add_argument("--mixture", default=None, help='JSON, e.g. {"src0":0.25,...}')
     ap.add_argument("--total-fraction", type=float, default=0.5)
     ap.add_argument("--budget", type=int, default=None, help="per-source char budget")
@@ -224,6 +231,7 @@ def main() -> None:
         dup_span_k=args.dup_span_k,
         dup_span_df=args.dup_span_df,
         dup_span_max_df=args.dup_span_max_df,
+        dup_span_digest=args.dup_span_digest,
         mixture=json.loads(args.mixture) if args.mixture else None,
         total_fraction=args.total_fraction,
         budget=args.budget,

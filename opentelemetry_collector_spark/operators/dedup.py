@@ -397,7 +397,7 @@ def simhash_banded_pairs(
 
 def _dup_window_frames(
     df: DataFrame, id_col: str, text_col: str, k: int, min_df: int,
-    max_df: int | None = None,
+    max_df: int | None = None, digest: str = "md5",
 ):
     """Shared single-digest-pass ladder for the duplicate-span operators:
     k-word window md5 digests + positions (one posexplode), grouped to one
@@ -425,16 +425,27 @@ def _dup_window_frames(
 
     The (digest, doc) frame is persisted on the capped path (three
     consumers: df aggregate, hot semi-join, cold anti-join) — caller-owned
-    lifetime, same contract as the textstats vocab caches."""
+    lifetime, same contract as the textstats vocab caches.
+
+    ``digest`` picks the window-digest function: ``"md5"`` (default — the
+    oracle-parity form, DuckDB has md5) or ``"xxhash64"`` (the 100 TB form:
+    an 8-byte long instead of a 32-char hex string through every shuffle
+    and join; engine-native, no hex encode).  The digest only BUCKETS
+    identical windows, so both forms produce identical operator output —
+    pytest-checked."""
+    if digest not in ("md5", "xxhash64"):
+        raise ValueError(f"digest must be 'md5' or 'xxhash64', got {digest!r}")
+    digest_fn = F.md5 if digest == "md5" else F.xxhash64
+    null_arr = "array<string>" if digest == "md5" else "array<bigint>"
     staged = df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("_w"))
     w = F.col("_w")
     windows = F.when(
         F.size(w) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: F.md5(F.array_join(F.slice(w, i + 1, k), " ")),
+            lambda i: digest_fn(F.array_join(F.slice(w, i + 1, k), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast(null_arr))
     base = staged.select("id", F.size(w).alias("n_words"), w, windows.alias("_sh"))
     pos_h = base.select("id", F.posexplode("_sh").alias("pos", "h"))
     per_doc = pos_h.groupBy("h", "id").agg(
@@ -473,6 +484,7 @@ def duplicate_span_stats(
     k: int = 8,
     min_df: int = 2,
     max_df: int | None = None,
+    digest: str = "md5",
 ) -> DataFrame:
     """Exact duplicate-SPAN exposure (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better", public): per document, how
@@ -499,7 +511,7 @@ def duplicate_span_stats(
     any τ ≥ min_df).  Docs shorter than k words report 0.
 
     Returns (id, n_words, dup_tokens, dup_span_ratio)."""
-    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df, max_df)
+    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df, max_df, digest)
     init = F.struct(
         F.lit(0).cast("long").alias("t"), F.lit(-(k + 1)).cast("long").alias("e")
     )
@@ -535,6 +547,7 @@ def remove_duplicate_spans(
     min_df: int = 2,
     max_df: int | None = None,
     with_text: bool = False,
+    digest: str = "md5",
 ) -> DataFrame:
     """Exact duplicate-SPAN removal (the action Lee et al. 2021 take on the
     signal :func:`duplicate_span_stats` measures): excise from every
@@ -556,7 +569,7 @@ def remove_duplicate_spans(
     reconstructed ``clean_text`` itself (the pipeline form — downstream
     quality gates and packing consume the cleaned document, md5 is the
     value-check form of the same string)."""
-    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df, max_df)
+    base, dup = _dup_window_frames(df, id_col, text_col, k, min_df, max_df, digest)
     cov = (
         dup.select("id", F.explode("_ps").alias("p"))
         .select(

@@ -330,3 +330,31 @@ def test_remove_duplicate_spans_excises_covered_tokens(spark):
     assert (out[5].n_kept, out[5].clean_md5) == (0, md5(""))
     # conservation: kept + covered = total per doc
     assert all(out[i].n_kept <= out[i].n_words for i in out)
+
+
+def test_dup_span_xxhash64_digest_identical_to_md5(spark):
+    """The window digest only BUCKETS identical k-word runs, so swapping
+    md5 (oracle-parity default) for xxhash64 (the 100 TB form: 8-byte longs
+    through every shuffle/join instead of 32-char hex) must leave BOTH span
+    operators' output bit-identical — capped and uncapped."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op, cols in (
+        (duplicate_span_stats, ["id", "n_words", "dup_tokens", "dup_span_ratio"]),
+        (remove_duplicate_spans, ["id", "n_words", "n_kept", "clean_md5"]),
+    ):
+        for max_df in (None, 4):
+            ref = op(docs, "doc_id", "text", k=8, min_df=2, max_df=max_df).select(cols)
+            xx = op(
+                docs, "doc_id", "text", k=8, min_df=2, max_df=max_df, digest="xxhash64"
+            ).select(cols)
+            assert ref.exceptAll(xx).count() == 0
+            assert xx.exceptAll(ref).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_span_stats(docs, "doc_id", "text", digest="sha1")

@@ -180,6 +180,8 @@ _NESTED_LOOP_OK = {
     "text_ccnet_buckets",      # same scoring ladder underneath
     "corpus_prep_e2e",         # ladder recall/scalar joins (1-row broadcast)
     "text_dsir_weight",        # V / N_target / N_corpus: three 1-row broadcasts
+    "text_dsir_weight_hashed",     # 1-row dense bucket-LM array broadcast
+    "text_unigram_logprob_hashed",  # same 1-row dense-array + total broadcast
 }
 
 
