@@ -643,3 +643,63 @@ def pq_topk(
             F.round(F.col("_di") / F.lit(1000000.0), 4).alias("adist"),
         )
     )
+
+
+def semantic_dedup_keep(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", public): cluster the
+    embedding space, then prune cosine near-duplicates WITHIN each cluster
+    only — the semantic analog of MinHash dedup, catching paraphrases and
+    re-encodings that share no n-grams.
+
+    Spark shape, mirroring the paper's scale argument (within-cluster
+    pairwise ≈ n·cell_size, never corpus-pairwise n²):
+
+    1. cell assignment is the :func:`ivf_cell` narrow codegen projection
+       (centroid table rides inside the expression — no join, no shuffle);
+    2. candidate pairs come from ONE self-equi-join on ``cell`` (AQE
+       skew-join splits an oversized cell's partitions; cell sizes are
+       ~n/k by construction, and production would raise k with n);
+    3. the keep rule is deterministic min-id-wins, same as the exact-dedup
+       ladder: a vector is dropped iff some SMALLER-id vector in its cell
+       sits at rounded cosine ≥ τ.  (The paper keeps the vector farthest
+       from the centroid; min-id is the engine's canonical rerun-stable
+       tie rule — swap the order column to centroid distance for the
+       paper's exact variant, identical plan shape.)
+
+    The assigned frame is persisted: it feeds both sides of the pair join
+    plus the final anti-join (caller-owned lifetime, vocab-cache contract).
+    Returns kept rows (id, cell) — the surviving corpus.
+    """
+    staged = vectors.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn")
+    )
+    v = staged.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        "_vn",
+        ivf_cell(F.col(vec_col), centroids, vec_norm=F.col("_vn")).alias("cell"),
+    ).persist()
+    a, b = v.alias("a"), v.alias("b")
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a._vn") * F.col("b._vn")),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return v.join(drops, "id", "left_anti").select(
+        F.col("id").alias(id_col), F.col("cell").cast("int").alias("cell")
+    )

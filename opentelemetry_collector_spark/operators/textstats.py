@@ -568,3 +568,70 @@ def unigram_logprob_hashed(df, id_col: str, text_col: str, n_buckets: int = 10_0
             F.round(sum_q / F.lit(1e6) / F.size("_w") - F.log2("ntot"), 4) + F.lit(0.0)
         ).alias("avg_logp"),
     )
+
+
+def quality_classifier_score(
+    df,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    weights=None,
+    bias_q: int = 0,
+):
+    """fastText-style LINEAR quality-classifier inference (Joulin et al.
+    2016 "Bag of Tricks for Efficient Text Classification", public — the
+    CCNet / LLaMA corpus-filter shape): logit = bias + mean over words of
+    weight[hash(word) mod B].
+
+    Engine shape — the production inference path for a trained filter at
+    100 TB: the weight vector is a plan-time DENSE ARRAY LITERAL of B
+    micro-quantized int64s (a trained model's weights drop into the same
+    literal unchanged), and scoring is a pure codegen projection per
+    document — transform words → buckets → element_at (O(1) dense index) →
+    exact integer fold.  NO explode, NO join, NO groupBy, NO shuffle: the
+    classifier rides the scan, so filtering 10^12 docs costs one pass.
+
+    ``weights`` is a length-B list of micro-quantized int64 (value·10⁶).
+    Default None uses a deterministic LCG placeholder
+    w_b = ((48271·b + 11) mod 2000001) − 10⁶  ∈ [−10⁶, 10⁶]
+    — no trained artifact ships in this sandbox (declared seam, same
+    policy as the multimodal codec stub); everything around the weights is
+    the real inference plan.  ``bias_q`` is the micro-quantized bias.
+
+    Sums are exact integers (order-independent across engines/partitions);
+    the only float is the final correctly-rounded division.  An empty text
+    is ONE empty token under the engine's split convention (both engines
+    agree), scoring weight[bucket_code("")] like any other word.
+
+    Returns (id, n_tok, logit, keep) with
+    logit = round((Σ_w q[b(w)] + n·bias_q) / (max(n,1)·10⁶), 4) and
+    keep = logit ≥ 0 (threshold on the ROUNDED value, so an independent
+    engine lands on the same side)."""
+    import numpy as np
+
+    if weights is None:
+        w = (48271 * np.arange(n_buckets, dtype=np.int64) + 11) % 2000001 - 1000000
+    else:
+        w = np.asarray(weights, dtype=np.int64)
+        if len(w) != n_buckets:
+            raise ValueError(f"weights must have length {n_buckets}, got {len(w)}")
+    ws = F.lit(w)
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    sum_q = F.aggregate(
+        F.transform(
+            F.col("_w"),
+            lambda wd: F.element_at(ws, (bucket_code(wd, n_buckets) + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size("_w").cast("long")
+    logit = F.round(
+        (sum_q + n * F.lit(int(bias_q))) / (F.greatest(n, F.lit(1)) * F.lit(1e6)), 4
+    ) + F.lit(0.0)
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_tok"),
+        logit.alias("logit"),
+        (logit >= 0).alias("keep"),
+    )

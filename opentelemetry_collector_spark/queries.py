@@ -1579,6 +1579,46 @@ def text_unigram_logprob_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# same char fold as _BUCKETS_SQL but over the classifier's B=4096 space
+_CLS_BUCKETS_SQL = """
+  list_transform(string_split(text, ' '), w ->
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(w)+1), i -> CAST(ascii(substr(w,i,1)) AS BIGINT))),
+      (acc, x) -> (acc*31 + x) %% 1000000007) %% 4096)
+"""
+
+
+@_q(
+    "text_quality_classifier",
+    f"""
+    WITH d AS (SELECT doc_id, {_CLS_BUCKETS_SQL} AS bs FROM documents),
+    s AS (
+      SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_tok,
+             CAST(list_sum(list_transform(bs,
+                 b -> ((48271 * b + 11) %% 2000001) - 1000000)) AS BIGINT) AS sq
+      FROM d),
+    sc AS (
+      SELECT doc_id, n_tok,
+             ROUND(sq / (greatest(n_tok, 1) * 1e6), 4) + 0.0 AS logit
+      FROM s)
+    SELECT doc_id, n_tok, logit, (logit >= 0) AS keep FROM sc
+    """.replace("%%", "%"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE (Joulin 2016; the
+    CCNet/LLaMA corpus-filter shape): logit = mean over words of a
+    broadcast dense weight array indexed by hash(word) mod 4096.  Weights
+    are the declared deterministic LCG placeholder (no trained artifact
+    offline); the plan is the real thing — a pure codegen projection with
+    zero shuffle, the classifier rides the scan.  The oracle replays hash,
+    weights, and the exact-integer fold in SQL."""
+    from .operators.textstats import quality_classifier_score
+
+    return quality_classifier_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=4096
+    )
+
+
 @_q(
     "text_dup_spans_removed",
     """
@@ -2303,6 +2343,50 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _t(spark, sf_dir, "embeddings")
     return lsh_candidate_recall(v, threshold=0.35, dim=64, bands=8, bits=4, max_id=300)
+
+
+@_q(
+    "dedup_semantic",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             ROUND({_cos_sql('v', 'c', bcol='cvec')}, 6) AS ccos
+      FROM v, c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM assign) WHERE rn = 1),
+    vv AS (SELECT v.vec_id, v.embedding, cells.cell
+           FROM v JOIN cells USING (vec_id)),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND({_cos_sql('a', 'b')}, 4) >= 0.35)
+    SELECT vv.vec_id, CAST(vv.cell AS INT) AS cell
+    FROM vv WHERE vv.vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas 2023): cluster embeddings to argmax-cosine centroid
+    cells (narrow projection — no shuffle), prune cosine near-dups WITHIN
+    cells only (one self-equi-join on cell, never corpus-pairwise),
+    min-id-wins keep rule.  Seed centroids = first 16 vectors, same
+    deterministic convention as ann_ivf_topk (production k-means-refines
+    them — kmeans_refine plugs in unchanged).  The oracle replays
+    assignment + within-cell prune in SQL."""
+    from .operators.similarity import semantic_dedup_keep
+
+    v = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in v.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    ]
+    return semantic_dedup_keep(
+        v.filter(F.col("vec_id") < 300), centroids, threshold=0.35
+    )
 
 
 @_q(
@@ -3625,6 +3709,8 @@ _DRIVER_PRIORITY = [
     # (c) new round 5
     "text_dsir_weight_hashed",
     "text_unigram_logprob_hashed",
+    "dedup_semantic",
+    "text_quality_classifier",
     # (d) re-confirmations: every key below is r02-green (2 rounds stale),
     # original r02 order; sink_debug (trivially stable) defers to slot 51
     "scan_sequences",

@@ -239,3 +239,28 @@ def test_pq_topk_matches_numpy_reference(spark):
         top = sorted(dists, key=lambda n: (dists[n], n))[:3]
         for n in top:
             assert got[(qid, n)] == round(dists[n] / 1e6, 4)
+
+
+def test_semantic_dedup_keep_min_id_wins(spark):
+    """SemDeDup prune: identical vectors in the same cell collapse to the
+    min id; near-orthogonal vectors survive; pruning never crosses cells."""
+    from opentelemetry_collector_spark.operators.similarity import semantic_dedup_keep
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, e1),            # cell A canonical
+        (1, e1),            # exact dup of 0 -> dropped
+        (2, [0.99, 0.14, 0.0, 0.0]),  # cos~0.99 with 0 -> dropped
+        (3, e2),            # cell B canonical
+        (4, e2),            # exact dup of 3 -> dropped (never vs cell A)
+        (5, [0.1, 0.99, 0.0, 0.0]),   # cell B, cos~0.99 with 3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    centroids = [(0, e1), (1, e2)]
+    kept = semantic_dedup_keep(df, centroids, threshold=0.9)
+    got = {r.vec_id: r.cell for r in kept.collect()}
+    assert got == {0: 0, 3: 1}
+    # loosening tau to 1.01 disables pruning entirely
+    all_kept = semantic_dedup_keep(df, centroids, threshold=1.01)
+    assert all_kept.count() == 6

@@ -255,3 +255,51 @@ def test_hashed_lm_scoring_has_no_corpus_side_exchange(spark):
         assert "hashpartitioning(b" in plan
         # scoring side reaches the scan through a 1-row broadcast
         assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_classifier_score_known_weights(spark):
+    """Classifier inference with explicit weights: all +1 -> logit 1.0 /
+    keep; all -1 -> logit -1.0 / drop; empty doc scores the bias; wrong
+    weight-vector length raises."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        quality_classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "")], "doc_id int, text string"
+    )
+    up = quality_classifier_score(
+        df, "doc_id", "text", n_buckets=8, weights=[1_000_000] * 8
+    )
+    got = {r.doc_id: r for r in up.collect()}
+    assert got[1].n_tok == 3 and got[1].logit == 1.0 and got[1].keep
+    # empty text splits to ONE empty token (engine split convention)
+    assert got[2].n_tok == 1 and got[2].logit == 1.0 and got[2].keep
+    down = quality_classifier_score(
+        df, "doc_id", "text", n_buckets=8, weights=[-1_000_000] * 8, bias_q=500_000
+    )
+    got = {r.doc_id: r for r in down.collect()}
+    # mean weight -1.0 + bias 0.5 -> logit -0.5, dropped
+    assert got[1].logit == -0.5 and not got[1].keep
+    assert got[2].logit == -0.5 and not got[2].keep
+    with _pytest.raises(ValueError):
+        quality_classifier_score(df, "doc_id", "text", n_buckets=8, weights=[1, 2])
+
+
+def test_quality_classifier_plan_is_shuffle_free(spark):
+    """The classifier must ride the scan: no Exchange anywhere in the plan."""
+    from opentelemetry_collector_spark.operators.textstats import (
+        quality_classifier_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        quality_classifier_score(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
