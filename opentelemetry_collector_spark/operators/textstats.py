@@ -635,3 +635,85 @@ def quality_classifier_score(
         logit.alias("logit"),
         (logit >= 0).alias("keep"),
     )
+
+
+# Gopher rule-set stopwords (Rae et al. 2021 §A1.1): keep needs >= 2 DISTINCT.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_gates(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+):
+    """Full Gopher quality rule table (Rae et al. 2021 §A1.1), one row per doc.
+
+    The repetition rules live in ``repetition_stats`` (dup-word / dup-3-gram
+    ratios); this is the complementary document-shape rule family:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_wlen, max_mean_wlen]
+    - symbol-to-word ratio (``#`` and ``...``) <= max_symbol_ratio
+    - fraction of words containing an alphabetic char >= min_alpha_frac
+    - at least ``min_stopwords`` DISTINCT Gopher stopwords present
+
+    (The bullet-/ellipsis-LINE rules are omitted: the corpus tables carry
+    single-line bodies — documented deviation, not an approximation.)
+
+    Pure codegen over ONE staged split array — no explode, no shuffle, no
+    UDF: at 100 TB this is a map-only projection.  Thresholds compare
+    against values rounded to 4 decimals so an independent engine lands on
+    the same side of every gate.  Returns (id, n_words, mean_word_len,
+    symbol_ratio, alpha_frac, n_stop, keep).
+    """
+    w = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    staged = df.select(F.col(id_col), w.alias("_w"), F.col(text_col).alias("_t"))
+    n = F.size("_w")
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    mean_wlen = F.round(
+        F.aggregate(F.col("_w"), F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / nd,
+        4,
+    )
+    symbol_ratio = F.round(
+        (F.regexp_count(F.col("_t"), F.lit("#"))
+         + F.regexp_count(F.col("_t"), F.lit(r"\.\.\."))).cast("double") / nd,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(F.col("_w"), lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / nd,
+        4,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(F.col("_w"), F.lower),
+            F.lit(GOPHER_STOPWORDS),
+        )
+    )
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_wlen >= min_mean_wlen)
+        & (mean_wlen <= max_mean_wlen)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        keep.alias("keep"),
+    )

@@ -1620,6 +1620,104 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_pii_redact",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+        text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+             || ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+             || CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-6789' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-0134' ELSE '' END
+          AS dirty
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(dirty,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      len(regexp_extract_all(dirty, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+      len(regexp_extract_all(dirty, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+      len(regexp_extract_all(dirty, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+      md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS clean_md5
+    FROM d
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (Dolma/ROOTS style): detect + redact emails, SSN-shaped ids,
+    US phone numbers and IPv4 addresses with typed sentinels.  The corpus
+    tables carry no real PII, so the key deterministically injects all four
+    families from doc_id before scrubbing (the oracle injects identically),
+    making the match counts and the redacted-text md5 real value checks.
+    Chained regexp_replace in one codegen projection — zero shuffle, zero
+    UDFs; the RE2-compatible patterns are shared verbatim with the oracle."""
+    from .functions.pii import pii_counts, redact_pii
+
+    did = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did,
+        F.lit("@ex"), F.pmod("doc_id", F.lit(7)).cast("string"), F.lit(".org"),
+        F.lit(" host 10."), F.pmod("doc_id", F.lit(256)).cast("string"),
+        F.lit(".0."), F.pmod("doc_id", F.lit(100)).cast("string"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit(" id 123-45-6789"))
+         .otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit(" call 415-555-0134"))
+         .otherwise(F.lit("")),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", dirty.alias("dirty"))
+    c = pii_counts(F.col("dirty"))
+    return d.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["ssn"].alias("n_ssn"),
+        c["phone"].alias("n_phone"),
+        c["ipv4"].alias("n_ipv4"),
+        F.md5(redact_pii(F.col("dirty"))).alias("clean_md5"),
+    )
+
+
+@_q(
+    "text_gopher_gates",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, len(w) AS n_words,
+        ROUND(CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                   AS DOUBLE) / greatest(len(w), 1), 4) AS mean_word_len,
+        ROUND(CAST(len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+              / greatest(len(w), 1), 4) AS symbol_ratio,
+        ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS DOUBLE) / greatest(len(w), 1), 4) AS alpha_frac,
+        len(list_intersect(list_transform(w, x -> lower(x)),
+            ['the','be','to','of','and','that','have','with'])) AS n_stop
+      FROM t)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+      (n_words >= 50 AND n_words <= 100000
+       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+    FROM s
+    """,
+)
+def text_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher document-shape rule table (Rae et al. 2021 §A1.1): word
+    count bounds, mean-word-length bounds, symbol-to-word ratio, alpha-word
+    fraction, distinct-stopword floor, and the conjunction `keep` — the rule
+    family complementing text_repetition's dup-ngram gates.  One staged
+    split array, pure codegen, zero shuffle: the gates ride the scan at
+    100 TB.  Thresholds compare 4-decimal-rounded values so the oracle lands
+    on the same side of every gate."""
+    from .operators.textstats import gopher_gates
+
+    return gopher_gates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
     "text_dup_spans_removed",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3701,6 +3799,9 @@ _DRIVER_PRIORITY = [
     # all 110 keys' latest driver rows are green), then operator-or-oracle-
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
+    # (a) never-green: registered mid-round-5, no driver row yet
+    "text_pii_redact",
+    "text_gopher_gates",
     # (b) operator or oracle changed round 5
     "text_dup_spans",           # digest table df-capped (broadcast hot-set clamp)
     "text_dup_spans_removed",   # df cap + clean_text emission
@@ -3753,11 +3854,13 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "attr_map_suite",
+    # ---- driver window boundary (50 keys above) ----
+    # (everything below keeps its r02-green row; re-verified by the local
+    # full gate, deferred from the 50-key driver window by the two new keys)
     "agg_distinct_by_source",
     "win_delta_from_cumulative",
     "time_rollup_cascade",
     "dedup_simhash_pairs",
-    # ---- driver window boundary (50 keys above) ----
     "sink_debug",
 ]
 

@@ -303,3 +303,51 @@ def test_quality_classifier_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redact_families_and_order(spark):
+    from opentelemetry_collector_spark.functions.pii import pii_counts, redact_pii
+
+    text = (
+        "mail bob.smith+x@corp.example.com then ssn 123-45-6789 "
+        "phone 415-555-0134 ip 192.168.1.7 done"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    c = pii_counts(F.col("text"))
+    row = df.select(
+        c["email"].alias("e"), c["ssn"].alias("s"),
+        c["phone"].alias("p"), c["ipv4"].alias("i"),
+        redact_pii(F.col("text")).alias("r"),
+    ).collect()[0]
+    assert (row.e, row.s, row.p, row.i) == (1, 1, 1, 1)
+    assert row.r == "mail <EMAIL> then ssn <SSN> phone <PHONE> ip <IP> done"
+
+
+def test_pii_redact_subset_and_no_pii(spark):
+    from opentelemetry_collector_spark.functions.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [("a@b.co and 10.0.0.1",), ("clean text only",)], "text string"
+    )
+    got = [r.r for r in df.select(redact_pii(F.col("text"), ["email"]).alias("r")).collect()]
+    # only the email family applied; the IP survives untouched
+    assert got == ["<EMAIL> and 10.0.0.1", "clean text only"]
+
+
+def test_gopher_gates_golden(spark):
+    from opentelemetry_collector_spark.operators.textstats import gopher_gates
+
+    long_good = " ".join(
+        ["the", "be", "to", "of"] + [f"word{i}" for i in range(56)]
+    )  # 60 words, 4 distinct stopwords, all alpha
+    short = "the be tiny text"  # word-count gate fails
+    symbols = " ".join(["the", "be"] + ["#"] * 58)  # symbol + alpha gates fail
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_gates(df, "doc_id", "text").collect()}
+    assert rows[1].keep and rows[1].n_words == 60 and rows[1].n_stop == 4
+    assert not rows[2].keep and rows[2].n_words == 4
+    assert not rows[3].keep and rows[3].symbol_ratio > 0.1 and rows[3].alpha_frac < 0.8
+    # mean word length is the 4-decimal-rounded exact value
+    assert rows[2].mean_word_len == round((3 + 2 + 4 + 4) / 4, 4)
