@@ -124,10 +124,15 @@ def main() -> None:
     # (8-byte longs through every shuffle; output-identical to md5)
     out = build(spark, corpus, bench, max_len=args.max_len, dup_span_digest="xxhash64")
     counts = {}
+    stage_s = {}
     for name in ("kept", "packed", "stats"):  # parquet write = the job's real action
+        ts = time.time()
         path = os.path.join(args.workdir, name)
         out[name].write.mode("overwrite").parquet(path)
         counts[name] = spark.read.parquet(path).count()
+        # 'kept' pays the whole ladder through hash_split (persisted there);
+        # 'packed' adds tokenization + greedy packing; 'stats' folds packed
+        stage_s[name] = round(time.time() - ts, 1)
     packed = (
         spark.read.parquet(os.path.join(args.workdir, "packed"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("tokens")).alias("tok"))
@@ -145,6 +150,7 @@ def main() -> None:
                 "gen_s": round(gen_s, 1),
                 "ladder_s": round(ladder_s, 1),
                 "docs_per_sec": round(args.docs / ladder_s, 1),
+                "stage_s": stage_s,
                 "kept_docs": kept_n,
                 "packed_seqs": int(packed["n"]),
                 "packed_tokens": int(packed["tok"]),

@@ -130,3 +130,29 @@ def learn_merges(
         merges.append((w1, w2, cnt))
         cur = apply_merge(cur, w1, w2, arr_col, joiner).localCheckpoint(eager=True)
     return merges, cur
+
+
+def encode_with_merges(
+    arrs: DataFrame,
+    merges: list[tuple[str, str]],
+    arr_col: str = "toks",
+    joiner: str = "▁",
+) -> DataFrame:
+    """BPE ENCODE: apply an ordered, frozen merge list (the trained tokenizer
+    artifact that `learn_merges` produces) to every row — the inference half
+    of the tokenizer story.
+
+    Each merge is one `_merge_fold` projection stacked on the previous one;
+    Catalyst collapses the stack into a single map-only projection (no
+    shuffle, no UDF), so at 100 TB encoding rides the scan.  The stacked-fold
+    expression grows linearly with len(merges): fine for the config-sized
+    lists used here; for a production 32k-merge vocabulary swap in the
+    Arrow-batched mapInPandas kernel shape used by `packing._seq_chunk_iter`
+    (same dataframe contract, merges broadcast as one dict).
+    """
+    cur = arrs
+    for w1, w2 in merges:
+        cur = cur.withColumn(
+            arr_col, _merge_fold(F.col(arr_col), w1, w2, w1 + joiner + w2)
+        )
+    return cur

@@ -665,6 +665,67 @@ def bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_merges(pair_counts(arrs, "toks"), 20)
 
 
+# Frozen tokenizer artifact for bpe_encode: the first 8 merges learn_merges
+# produces on the sf0.01 documents corpus (count desc, pair-lexicographic
+# tie-break), recorded once and frozen — the same merge list encodes every
+# scale factor, exactly like shipping a trained tokenizer file.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("table", "hash"), ("part", "filter"), ("customer", "join"),
+    ("merge", "group"), ("slow", "key"), ("vector", "small"),
+    ("big", "order"), ("merge", "order"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    # Replay the left-to-right non-overlapping greedy merge as a regex pass
+    # per merge: double every inter-token space so each token is flanked by
+    # its own delimiters, globally replace ' w1  w2 ' (RE2 global replace IS
+    # greedy non-overlapping left-to-right), then collapse and trim.
+    expr = "array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')"
+    for w1, w2 in _BPE_MERGES:
+        m = f"{w1}▁{w2}"
+        expr = (
+            f"trim(replace(regexp_replace(' ' || replace({expr}, ' ', '  ') || ' ', "
+            f"' {w1}  {w2} ', ' {m} ', 'g'), '  ', ' '))"
+        )
+    return f"""
+    WITH e AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok_raw,
+             {expr} AS enc
+      FROM documents)
+    SELECT doc_id, n_tok_raw,
+           CASE WHEN enc = '' THEN 0 ELSE len(string_split(enc, ' ')) END AS n_tok_enc,
+           md5(enc) AS enc_md5
+    FROM e
+    """
+
+
+@_q("bpe_encode", _bpe_encode_oracle())
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE: encode the corpus with a frozen ordered BPE merge
+    list (the artifact learn_merges produces — Sennrich et al. 2016 apply
+    step).  Each merge is a pure `aggregate` fold; the stack collapses into
+    ONE codegen projection — no shuffle, no UDF, encoding rides the scan at
+    100 TB (a 32k-merge production list swaps in the documented mapInPandas
+    kernel with the same contract).  Value check: per-doc token counts before
+    and after, plus md5 of the encoded sequence; the oracle replays each
+    greedy merge as an RE2 global replace over delimiter-doubled text."""
+    from .operators.bpe import encode_with_merges
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    staged = _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tok_raw")
+    )
+    enc = encode_with_merges(staged, _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        "n_tok_raw",
+        F.size("toks").alias("n_tok_enc"),
+        F.md5(F.array_join("toks", " ")).alias("enc_md5"),
+    )
+
+
 @_q(
     "tail_sample_semi_join",
     """
@@ -3802,6 +3863,7 @@ _DRIVER_PRIORITY = [
     # (a) never-green: registered mid-round-5, no driver row yet
     "text_pii_redact",
     "text_gopher_gates",
+    "bpe_encode",
     # (b) operator or oracle changed round 5
     "text_dup_spans",           # digest table df-capped (broadcast hot-set clamp)
     "text_dup_spans_removed",   # df cap + clean_text emission
@@ -3853,10 +3915,10 @@ _DRIVER_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "attr_map_suite",
     # ---- driver window boundary (50 keys above) ----
     # (everything below keeps its r02-green row; re-verified by the local
-    # full gate, deferred from the 50-key driver window by the two new keys)
+    # full gate, deferred from the 50-key driver window by the three new keys)
+    "attr_map_suite",
     "agg_distinct_by_source",
     "win_delta_from_cumulative",
     "time_rollup_cascade",

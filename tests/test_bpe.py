@@ -76,3 +76,39 @@ def test_learn_merges_matches_python_reference(spark):
     exp_merges, exp_final = _py_learn(CORPUS, 3)
     assert merges == exp_merges
     assert sorted(r.toks for r in final.collect()) == sorted(exp_final)
+
+
+def test_encode_with_merges_matches_python(spark):
+    from opentelemetry_collector_spark.operators.bpe import encode_with_merges
+
+    merges = [("a", "b"), ("a▁b", "c"), ("x", "x")]
+    rows = [
+        (1, ["a", "b", "c", "x", "x", "x"]),
+        (2, ["a", "a", "b", "b"]),
+        (3, []),
+        (4, ["a", "b", "a", "b", "c"]),
+    ]
+
+    def py_encode(toks):
+        for w1, w2 in merges:
+            out, prev = [], None
+            for t in toks:
+                if prev == w1 and t == w2:
+                    out.append(w1 + "▁" + w2)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = t
+            if prev is not None:
+                out.append(prev)
+            toks = out
+        return toks
+
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    got = {r.doc_id: r.toks for r in encode_with_merges(df, merges).collect()}
+    for doc_id, toks in rows:
+        assert got[doc_id] == py_encode(toks), doc_id
+    # spot-check the cascade: (a,b)->a▁b then (a▁b,c)->a▁b▁c
+    assert got[1] == ["a▁b▁c", "x▁x", "x"]
+    assert got[4] == ["a▁b", "a▁b▁c"]
