@@ -47,6 +47,7 @@ def build(
     dup_span_df: int = 2,
     dup_span_max_df: int = 64,
     dup_span_digest: str = "md5",
+    pii_redact: bool = False,
     mixture: dict[str, float] | None = None,
     total_fraction: float = 0.5,
     budget: int | None = None,
@@ -118,6 +119,14 @@ def build(
             spans.select(F.col("id").alias("doc_id"), F.col("clean_text").alias("text")),
             "doc_id",
         )
+
+    if pii_redact:
+        # scrub PII sentinels into the surviving text BEFORE the gates and
+        # packing (standard pre-training order: dedup on raw text, ship
+        # scrubbed text); one more map-only projection on the same frame
+        from opentelemetry_collector_spark.functions.pii import redact_pii
+
+        kept = kept.withColumn("text", redact_pii(F.col("text")))
 
     rep = repetition_stats(kept, "doc_id", "text")
     ok = rep.filter(
@@ -198,6 +207,9 @@ def main() -> None:
     ap.add_argument("--dup-span-digest", default="md5", choices=["md5", "xxhash64"],
                     help="window digest fn; xxhash64 is the scale form (8-byte "
                          "longs through every shuffle), output-identical to md5")
+    ap.add_argument("--pii-redact", action="store_true",
+                    help="replace emails/SSNs/phones/IPv4s with typed "
+                         "sentinels (functions.pii) before the quality gates")
     ap.add_argument("--mixture", default=None, help='JSON, e.g. {"src0":0.25,...}')
     ap.add_argument("--total-fraction", type=float, default=0.5)
     ap.add_argument("--budget", type=int, default=None, help="per-source char budget")
@@ -232,6 +244,7 @@ def main() -> None:
         dup_span_df=args.dup_span_df,
         dup_span_max_df=args.dup_span_max_df,
         dup_span_digest=args.dup_span_digest,
+        pii_redact=args.pii_redact,
         mixture=json.loads(args.mixture) if args.mixture else None,
         total_fraction=args.total_fraction,
         budget=args.budget,

@@ -73,3 +73,36 @@ def test_build_with_dsir_selection(spark):
     assert "src0" in srcs                                 # exemplar survives
     # a positive floor must actually cut something at this SF
     assert len(kept) < len(n_base)
+
+
+def test_build_with_pii_redact(spark):
+    """pii_redact=True scrubs surviving text BEFORE gates/packing: the packed
+    token stream of a dirty corpus with redaction on must equal the packed
+    stream of the same corpus pre-scrubbed by redact_pii directly."""
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_prep_job import build
+    from opentelemetry_collector_spark.functions.pii import redact_pii
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    dirty = d.withColumn("text", F.concat(F.col("text"), F.lit(" ping a@b.co")))
+    bench = dirty.filter(F.col("doc_id") < 20)
+    corpus = dirty.filter(F.col("doc_id") >= 20)
+
+    def packed_sig(out):
+        return sorted(
+            (r.source, r.pack_id, tuple(r.doc_ids), tuple(r.tokens))
+            for r in out["packed"].collect()
+        )
+
+    # jaccard=0.99: the two worlds hash different spellings, so LSH candidate
+    # sets can differ on borderline pairs; near-1.0 pairs are banded-caught
+    # with probability ~1 in BOTH worlds, keeping the equality deterministic
+    with_flag = build(spark, corpus, bench, pii_redact=True, jaccard=0.99)
+    pre_scrubbed = build(
+        spark,
+        corpus.withColumn("text", redact_pii(F.col("text"))),
+        bench.withColumn("text", redact_pii(F.col("text"))),
+        pii_redact=False,
+        jaccard=0.99,
+    )
+    assert packed_sig(with_flag) == packed_sig(pre_scrubbed)
