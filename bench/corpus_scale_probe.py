@@ -101,8 +101,15 @@ def main() -> None:
     from jobs.corpus_prep_job import build
     from opentelemetry_collector_spark.session import get_spark
 
+    # Scale-probe memory model: one local JVM stands in for the whole
+    # cluster, so give it cluster-shaped memory (~2 GiB/core, the ordinary
+    # executor sizing) instead of the 8g test default — the first 10M-doc
+    # run OOM'd the 32-thread JVM on an 8 GiB heap mid-ladder.  4 shuffle
+    # partitions/core halves per-task hash-aggregate footprint on the
+    # shingle explodes; AQE coalesces the small ones back.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(8, 2 * args.cores)}g")
     spark = get_spark(
-        app_name="corpus-scale-probe", cores=args.cores, shuffle_partitions=2 * args.cores
+        app_name="corpus-scale-probe", cores=args.cores, shuffle_partitions=4 * args.cores
     )
     spark.sparkContext.setLogLevel("WARN")
 
