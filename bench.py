@@ -91,6 +91,11 @@ HEADLINE = [
     # r5 additions
     "text_dsir_weight_hashed",
     "text_unigram_logprob_hashed",
+    "dedup_semantic",
+    "text_quality_classifier",
+    "text_pii_redact",
+    "text_gopher_gates",
+    "bpe_encode",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -236,3 +236,17 @@ def test_aqe_skew_join_splits_skewed_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_map_only_keys_have_no_exchange(spark):
+    """text_pii_redact / text_gopher_gates / bpe_encode /
+    text_quality_classifier all claim 'rides the scan' (one codegen
+    projection, zero shuffle) — assert no Exchange appears in their plans."""
+    for key in (
+        "text_pii_redact",
+        "text_gopher_gates",
+        "bpe_encode",
+        "text_quality_classifier",
+    ):
+        plan = explain(QUERIES[key](spark, SF), "simple")
+        assert "Exchange" not in plan, f"{key} shuffles:\n{plan}"
