@@ -109,7 +109,10 @@ def main() -> None:
     # shingle explodes; AQE coalesces the small ones back.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{max(8, 2 * args.cores)}g")
     spark = get_spark(
-        app_name="corpus-scale-probe", cores=args.cores, shuffle_partitions=4 * args.cores
+        app_name="corpus-scale-probe",
+        cores=args.cores,
+        shuffle_partitions=4 * args.cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("WARN")
 
