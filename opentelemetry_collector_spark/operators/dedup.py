@@ -42,6 +42,93 @@ def dedup_keep_canonical(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return df.join(groups, on=id_col, how="left_semi")
 
 
+def exact_dedup_priority(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rank_col: str,
+) -> DataFrame:
+    """Exact dedup groups with SOURCE-PRIORITY canonical selection: when a
+    duplicate group spans sources, keep the copy from the most-trusted
+    source (lowest ``rank_col``), then min id — the standard corpus-prep
+    rule when the same page arrives via both a curated dump and a crawl
+    (keep the curated copy so its provenance/license metadata survives).
+
+    ``rank_col`` is any integer column the caller derived (typically a
+    broadcast-joined or CASE-mapped source→rank table).  Plan: identical to
+    :func:`exact_dedup` — one hash aggregate shuffling (fp, rank, id) rows,
+    never the text; the argmin is ``min(struct(rank, id))`` so partial
+    (map-side) aggregation still applies.  Returns
+    (fp, canonical_id, canonical_rank, group_size)."""
+    best = F.min(F.struct(F.col(rank_col).alias("r"), F.col(id_col).alias("i")))
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col), F.col(rank_col))
+        .groupBy("fp")
+        .agg(best.alias("_b"), F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "fp",
+            F.col("_b.i").alias("canonical_id"),
+            F.col("_b.r").alias("canonical_rank"),
+            "group_size",
+        )
+    )
+
+
+def dedup_keep_priority(
+    df: DataFrame, id_col: str, text_col: str, rank_col: str
+) -> DataFrame:
+    """Filter to one row per exact-duplicate group, best (rank, id) wins."""
+    groups = exact_dedup_priority(df, id_col, text_col, rank_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(groups, on=id_col, how="left_semi")
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen_fps: DataFrame | None,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Resumable-ingest exact dedup: dedup an INCOMING batch against the
+    fingerprint snapshot of everything already ingested — the shape every
+    continuously-fed 100 TB corpus needs (re-running the full-corpus dedup
+    per increment is O(corpus) per batch; this is O(batch + lookup)).
+
+    ``seen_fps`` is the persisted snapshot from the previous increment —
+    one ``fp`` (md5) column, stored as a table keyed/bucketed by fp in
+    production (the same Iceberg-snapshot seam as ``plans/ledger.py``'s
+    resume ledger: a failed ingest re-reads the last committed snapshot and
+    replays idempotently).  ``None`` bootstraps an empty snapshot.
+
+    Returns (survivors, new_seen):
+
+    - survivors — the batch rows that are NOT exact-dups of anything seen
+      before and are the min-id canonical within the batch itself (the
+      batch can contain its own duplicates);
+    - new_seen — the updated snapshot (seen ∪ this batch's fps, distinct),
+      to persist for the next increment.
+
+    Plan: batch-side md5 is map-only; the within-batch canonical is one
+    (fp, id) hash aggregate; the seen-lookup is a left-anti join that
+    broadcasts only if the snapshot is small — at scale it's a shuffled
+    join on fp, which bucketing the snapshot table on fp makes co-located
+    (document, not config, here)."""
+    fp = F.md5(F.col(text_col)).alias("fp")
+    batch = new_batch.select(F.col(id_col), fp)
+    canon = (
+        batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    )
+    if seen_fps is not None:
+        fresh = canon.join(seen_fps.select("fp"), on="fp", how="left_anti")
+        new_seen = seen_fps.select("fp").union(batch.select("fp")).distinct()
+    else:
+        fresh = canon
+        new_seen = batch.select("fp").distinct()
+    survivors = new_batch.join(fresh.select(id_col), on=id_col, how="left_semi")
+    return survivors, new_seen
+
+
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3, mode: str = "native") -> DataFrame:
     """(id, h): hash per word n-gram shingle.  Duplicates kept (min-hash is
     multiset-safe); use .distinct() for Jaccard set semantics."""

@@ -43,6 +43,26 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def let(bound: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate ``bound`` ONCE and bind it
+    as a lambda variable inside ``body`` — ``transform(array(x), v -> body)[0]``.
+
+    Why this exists: staging an expensive array behind a column alias
+    (``select(split(text).alias("_w"))`` then referencing ``_w``) is NOT a
+    guaranteed single evaluation.  When a downstream FILTER references a
+    derived column, ``PushDownPredicates`` substitutes the alias chain into
+    the predicate with no cost guard — every ``element_at(_w, i)`` inside a
+    shingle lambda becomes ``element_at(split(text), i)``, turning the O(n)
+    shingle build into O(n²) re-splits evaluated in interpreted (non-codegen)
+    HOF mode.  Observed live: the 1M-doc corpus scale probe pinned all 32
+    cores in ``StringSplit.nullSafeEval`` under ``ConcatWs.eval`` inside a
+    pushed ``dup_3gram_ratio`` predicate (thread dump, round 5).  A lambda
+    variable is structural — no optimizer rule inlines through it — so the
+    binding survives CollapseProject / predicate pushdown at any plan
+    position."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (the fast path; == n_tok for pre-split corpora)."""
     return F.size(words(text))
@@ -143,38 +163,46 @@ def repetition_stats(df, id_col: str, text_col: str):
     ratios, the standard "drop boilerplate/looping text" signals run before
     pretraining.
 
-    Pure codegen over STAGED arrays (two projections — HOFs block CSE, so
-    an un-staged form recomputes the split per reference): no explode, no
-    shuffle, no UDF; a 100 TB corpus pays one narrow map pass.  Returns
-    (id, n_words, uniq_word_ratio, dup_3gram_ratio)."""
+    One narrow map pass, no explode, no shuffle, no UDF.  The split words
+    and the shingle array are LET-BOUND (see :func:`let`), not staged
+    column aliases: a consumer that filters on a returned ratio (the
+    corpus-prep ladder does) pushes its predicate through any staging
+    projection and would re-split the text per shingle element — the O(n²)
+    interpreted-eval trap the round-5 scale probe caught at 1M docs.
+    Returns (id, n_words, uniq_word_ratio, dup_3gram_ratio)."""
     import pyspark.sql.functions as F
 
-    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
-    w = F.col("_w")
-    shingle = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, (i + 1).cast("int")),
-                F.element_at(w, (i + 2).cast("int")),
-                F.element_at(w, (i + 3).cast("int")),
+    def _over_shingles(w, sh):
+        return F.struct(
+            F.size(w).alias("n_words"),
+            F.when(
+                F.size(w) > 0, F.round(F.size(F.array_distinct(w)) / F.size(w), 4)
+            ).otherwise(F.lit(None).cast("double")).alias("uniq_word_ratio"),
+            F.when(
+                F.size(sh) > 0,
+                F.round(F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 4),
+            ).otherwise(F.lit(0.0)).alias("dup_3gram_ratio"),
+        )
+
+    def _over_words(w):
+        shingle = F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, (i + 1).cast("int")),
+                    F.element_at(w, (i + 2).cast("int")),
+                    F.element_at(w, (i + 3).cast("int")),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    staged = staged.select(F.col(id_col), w.alias("_w"), shingle.alias("_sh"))
-    sh = F.col("_sh")
-    return staged.select(
-        F.col(id_col),
-        F.size(w).alias("n_words"),
-        F.when(
-            F.size(w) > 0, F.round(F.size(F.array_distinct(w)) / F.size(w), 4)
-        ).otherwise(F.lit(None).cast("double")).alias("uniq_word_ratio"),
-        F.when(
-            F.size(sh) > 0,
-            F.round(F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh), 4),
-        ).otherwise(F.lit(0.0)).alias("dup_3gram_ratio"),
+        ).otherwise(F.array().cast("array<string>"))
+        return let(shingle, lambda sh: _over_shingles(w, sh))
+
+    stats = let(words(F.col(text_col)), _over_words)
+    return df.select(F.col(id_col), stats.alias("_st")).select(
+        F.col(id_col), F.col("_st.n_words"), F.col("_st.uniq_word_ratio"),
+        F.col("_st.dup_3gram_ratio"),
     )
 
 

@@ -1478,6 +1478,109 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_priority_groups",
+    """
+    WITH r AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE source WHEN 'src1' THEN 0 WHEN 'src3' THEN 1
+                         WHEN 'src2' THEN 2 ELSE 3 END AS rnk
+      FROM documents),
+    g AS (SELECT fp, count(*) AS group_size FROM r GROUP BY fp),
+    c AS (SELECT fp, doc_id AS canonical_id, rnk AS canonical_rank,
+                 row_number() OVER (PARTITION BY fp ORDER BY rnk, doc_id) AS rn
+          FROM r)
+    SELECT c.fp, canonical_id, canonical_rank, group_size
+    FROM c JOIN g USING (fp) WHERE rn = 1
+    """,
+)
+def dedup_priority_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder ext: exact-dup groups with SOURCE-PRIORITY canonical
+    selection (keep the curated copy, not the crawl copy).  The rank column
+    is a CASE map here; in production it's a broadcast-joined source→rank
+    dimension.  Same one-shuffle plan as exact_dedup — min(struct) keeps
+    map-side partial aggregation."""
+    from .operators.dedup import exact_dedup_priority
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "rnk",
+        F.when(F.col("source") == "src1", 0)
+        .when(F.col("source") == "src3", 1)
+        .when(F.col("source") == "src2", 2)
+        .otherwise(3),
+    )
+    return exact_dedup_priority(d, "doc_id", "text", "rnk")
+
+
+@_q(
+    "dedup_incremental",
+    """
+    WITH seen AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+    batch AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250),
+    canon AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp),
+    fresh AS (SELECT doc_id FROM canon WHERE fp NOT IN (SELECT fp FROM seen))
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN fresh USING (doc_id)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder ext: resumable-ingest exact dedup — an incoming batch
+    (doc_id ≥ 250 stands in for today's crawl) deduped against the
+    fingerprint snapshot of everything already ingested (doc_id < 250),
+    O(batch) instead of O(corpus) per increment.  The updated snapshot
+    (second return) is materialized-and-counted so the plan under test is
+    the full resumable shape, then discarded."""
+    from .operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") < 250).select(F.md5("text").alias("fp")).distinct()
+    batch = d.filter(F.col("doc_id") >= 250)
+    survivors, new_seen = incremental_dedup(batch, seen, "doc_id", "text")
+    return survivors.select("doc_id", "source", "n_chars")
+
+
+@_q(
+    "text_bm25_topk",
+    """
+    WITH q(query_id, qtext) AS (VALUES (0, 'spark join'), (1, 'window agg order'),
+                                        (2, 'hash table scan'), (3, 'slow query')),
+    qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) JOIN qt USING (term), s),
+    scored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+               FROM contrib GROUP BY 1, 2),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+           FROM scored)
+    SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval ext: Okapi BM25 top-5 per query over the documents table —
+    retrieval-shaped data selection/audit.  Query terms broadcast and filter
+    the corpus token stream BEFORE any shuffle; the only full-corpus pass is
+    the (N, avgdl) scalar aggregate."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        [(0, "spark join"), (1, "window agg order"), (2, "hash table scan"), (3, "slow query")],
+        "doc_id",
+        "text",
+        k=5,
+    )
+
+
+@_q(
     "text_dup_spans",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3874,6 +3977,9 @@ _DRIVER_PRIORITY = [
     "text_unigram_logprob_hashed",
     "dedup_semantic",
     "text_quality_classifier",
+    "dedup_priority_groups",
+    "dedup_incremental",
+    "text_bm25_topk",
     # (d) re-confirmations: every key below is r02-green (2 rounds stale),
     # original r02 order; sink_debug (trivially stable) defers to slot 51
     "scan_sequences",
@@ -3912,12 +4018,12 @@ _DRIVER_PRIORITY = [
     "text_quality_score",
     "text_lang_id",
     "doc_fingerprint",
+    # ---- driver window boundary (50 keys above) ----
+    # (everything below keeps its r02-green row; re-verified by the local
+    # full gate, deferred from the 50-key driver window by the six new keys)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # ---- driver window boundary (50 keys above) ----
-    # (everything below keeps its r02-green row; re-verified by the local
-    # full gate, deferred from the 50-key driver window by the three new keys)
     "attr_map_suite",
     "agg_distinct_by_source",
     "win_delta_from_cumulative",

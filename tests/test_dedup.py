@@ -358,3 +358,61 @@ def test_dup_span_xxhash64_digest_identical_to_md5(spark):
 
     with _pytest.raises(ValueError):
         duplicate_span_stats(docs, "doc_id", "text", digest="sha1")
+
+
+# ---- source-priority canonical + incremental (resumable-ingest) dedup ----
+
+PRIO_DOCS = [
+    # (doc_id, text, rank): same text from three sources; curated rank 0 wins
+    (10, "alpha beta gamma", 2),
+    (11, "alpha beta gamma", 0),
+    (12, "alpha beta gamma", 1),
+    (13, "delta epsilon zeta", 1),
+    (14, "delta epsilon zeta", 1),   # rank tie -> min id wins
+    (15, "unique text here", 3),
+]
+
+
+def test_priority_canonical_prefers_low_rank_then_min_id(spark):
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_keep_priority,
+        exact_dedup_priority,
+    )
+
+    d = spark.createDataFrame(PRIO_DOCS, "doc_id int, text string, rnk int")
+    groups = {r.canonical_id: r for r in exact_dedup_priority(d, "doc_id", "text", "rnk").collect()}
+    assert set(groups) == {11, 13, 15}
+    assert groups[11].group_size == 3 and groups[11].canonical_rank == 0
+    assert groups[13].group_size == 2 and groups[13].canonical_rank == 1
+    kept = dedup_keep_priority(d, "doc_id", "text", "rnk")
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 13, 15]
+
+
+def test_incremental_dedup_batch_vs_snapshot(spark):
+    from opentelemetry_collector_spark.operators.dedup import incremental_dedup
+
+    seen_docs = spark.createDataFrame(
+        [(1, "already ingested page"), (2, "another old page")], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already ingested page"),   # exact dup of snapshot -> dropped
+            (11, "brand new page"),
+            (12, "brand new page"),          # within-batch dup -> min id kept
+            (13, "another fresh one"),
+        ],
+        "doc_id int, text string",
+    )
+    seen = seen_docs.select(F.md5("text").alias("fp")).distinct()
+    survivors, new_seen = incremental_dedup(batch, seen, "doc_id", "text")
+    assert sorted(r.doc_id for r in survivors.collect()) == [11, 13]
+    # updated snapshot = old fps U batch fps (distinct): 2 old + 2 new texts
+    assert new_seen.count() == 4
+    # bootstrap (no snapshot): within-batch dedup only
+    boot, snap0 = incremental_dedup(batch, None, "doc_id", "text")
+    assert sorted(r.doc_id for r in boot.collect()) == [10, 11, 13]
+    assert snap0.count() == 3
+    # replay idempotence (the resume story): re-ingesting the same batch
+    # against the updated snapshot yields zero survivors
+    replay, _ = incremental_dedup(batch, new_seen, "doc_id", "text")
+    assert replay.count() == 0

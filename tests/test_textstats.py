@@ -351,3 +351,31 @@ def test_gopher_gates_golden(spark):
     assert not rows[3].keep and rows[3].symbol_ratio > 0.1 and rows[3].alpha_frac < 0.8
     # mean word length is the 4-decimal-rounded exact value
     assert rows[2].mean_word_len == round((3 + 2 + 4 + 4) / 4, 4)
+
+
+def test_let_binding_semantics(spark):
+    """let() evaluates the bound expr once and survives a pushed filter:
+    filtering on a let-derived ratio returns the same rows as filtering the
+    materialized output (the optimizer substitutes the predicate either way;
+    the binding must not change values — the probe's O(n^2) trap was a perf
+    bug, the guard here is value equivalence incl. NULL text)."""
+    import pyspark.sql.functions as F
+    from opentelemetry_collector_spark.operators.textstats import let, repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "x y z w v u t s"), (3, None)],
+        "doc_id int, text string",
+    )
+    rep = repetition_stats(df, "doc_id", "text")
+    pushed = sorted(r.doc_id for r in rep.filter(F.col("dup_3gram_ratio") <= 0.3).collect())
+    materialized = sorted(
+        r.doc_id for r in rep.collect() if r.dup_3gram_ratio is not None and r.dup_3gram_ratio <= 0.3
+    )
+    # doc 3 (NULL text) yields dup_3gram_ratio 0.0 -> passes the gate too
+    assert pushed == materialized == [2, 3]
+    # let() over a null bound value binds null, not an empty array
+    out = df.select(
+        "doc_id", let(F.split("text", " "), lambda w: F.size(w)).alias("n")
+    ).collect()
+    got = {r.doc_id: r.n for r in out}
+    assert got[1] == 8 and got[2] == 8 and (got[3] is None or got[3] == -1)
