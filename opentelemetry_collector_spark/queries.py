@@ -3972,6 +3972,7 @@ _DRIVER_PRIORITY = [
     "text_dup_spans_removed",   # df cap + clean_text emission
     "corpus_prep_e2e",          # ladder grew the duplicate-span removal stage
     "chunk_token_stream",       # null-array guard moved before the prefix sum
+    "text_repetition",          # let-bound arrays (pushed-filter O(n^2) fix)
     # (c) new round 5
     "text_dsir_weight_hashed",
     "text_unigram_logprob_hashed",
@@ -4017,10 +4018,11 @@ _DRIVER_PRIORITY = [
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
-    "doc_fingerprint",
     # ---- driver window boundary (50 keys above) ----
     # (everything below keeps its r02-green row; re-verified by the local
-    # full gate, deferred from the 50-key driver window by the six new keys)
+    # full gate, deferred from the 50-key driver window by the six new keys
+    # + the text_repetition re-check)
+    "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
