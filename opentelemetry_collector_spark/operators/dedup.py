@@ -290,13 +290,19 @@ def ngram_jaccard_pairs(
         )
         join_sh = join_sh.join(cand_ids, on="id", how="left_semi")
     if max_df is not None:
+        # df counted over the FULL corpus (the cap is a global document
+        # frequency, not a within-candidates one), but anti-joined onto the
+        # candidate-gated join_sh: rebasing from sh here would silently
+        # discard the left_semi candidate gate above and pay the all-docs
+        # co-shingle explosion the LSH prune exists to avoid (measured: the
+        # 1M-doc probe spent ~70% of its ladder wall in exactly that join)
         hot = (
             sh.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("h")
         )
-        join_sh = sh.join(F.broadcast(hot), on="h", how="left_anti")
+        join_sh = join_sh.join(F.broadcast(hot), on="h", how="left_anti")
     a, b = join_sh.alias("a"), join_sh.alias("b")
     inter = (
         a.join(b, on="h")

@@ -79,6 +79,24 @@ def test_jaccard_with_candidate_prune(spark, docs):
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
 
 
+def test_jaccard_candidate_gate_survives_max_df(spark, docs):
+    """max_df must compose with candidates: the hot-shingle anti-join has to
+    apply ON TOP of the candidate left-semi gate, not rebase from the full
+    shingle set (regression: the rebased form silently paid the all-docs
+    co-shingle self-join the LSH prune exists to avoid — ~70% of the 1M-doc
+    probe's ladder wall).  Checked at the plan level: the h-equi-join inputs
+    must still contain the LeftSemi candidate gate."""
+    cand = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    out_df = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.0, candidates=cand, max_df=1000
+    )
+    assert {(r.id_a, r.id_b) for r in out_df.collect()} == {(1, 2)}
+    plan = out_df._jdf.queryExecution().optimizedPlan().toString()
+    # two join_sh branches (a/b sides) -> at least 2 semi gates + the
+    # pair-level one; the rebased-from-sh bug form has only the pair-level
+    assert plan.count("LeftSemi") >= 3, plan
+
+
 def test_simhash_hamming(spark, docs):
     sig = simhash(docs, "doc_id", "text", bits=16)
     vals = {r.id: r.simhash for r in sig.collect()}
