@@ -697,3 +697,36 @@ def remove_duplicate_spans(
         )
     )
     return out if with_text else out.drop("clean_text")
+
+
+def cross_source_overlap(
+    df: DataFrame, group_col: str, text_col: str, n: int = 3, mode: str = "raw"
+) -> DataFrame:
+    """Pairwise cross-source shingle-leakage matrix: for every unordered
+    pair of sources, the number of DISTINCT word n-gram shingles present in
+    BOTH — the train/eval (and source/source) leakage audit run before a
+    mixture is frozen (the decontamination matrix behind GPT-3 §C /
+    Gopher §A2-style overlap reports, public).
+
+    Scale shape: the multiplicity of a shingle hash after
+    ``distinct (source, h)`` is bounded by #sources, so the self-join
+    fan-out per shingle is ≤ #sources² REGARDLESS of how hot the shingle
+    is — no df cap needed (contrast the doc-keyed candidate join in
+    ``verify_jaccard``, where multiplicity is unbounded and ``max_df``
+    exists).  One explode → distinct → self-equi-join on h → #source²-row
+    aggregate; nothing after the distinct is corpus-sized."""
+    sh = shingle_hashes(
+        df.select(F.col(group_col).alias("_g"), F.col(text_col)),
+        "_g",
+        text_col,
+        n=n,
+        mode=mode,
+    ).distinct()
+    a = sh.select(F.col("id").alias("src_a"), "h")
+    b = sh.select(F.col("id").alias("src_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

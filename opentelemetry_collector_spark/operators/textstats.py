@@ -745,3 +745,101 @@ def gopher_gates(
         n_stop.alias("n_stop"),
         keep.alias("keep"),
     )
+
+
+def source_token_kl(df, source_col: str = "source", text_col: str = "text"):
+    """Per-source token-distribution drift: KL(P_source ‖ P_corpus) in nats
+    over the whitespace-unigram distribution — the mixture diagnostic a
+    data-mixing run consults before reweighting sources (the drift signal
+    behind DoReMi/DSIR-style selection, Xie et al. 2023, public).
+
+    Scale shape: ONE corpus-stream explode feeding a map-side-combinable
+    (source, tok) count; every later frame is vocabulary-sized
+    (|V|·#sources rows) or smaller, so the tok-keyed join shuffles the
+    vocabulary, never the corpus.  The per-source totals (#sources rows)
+    and the grand total (1 row) ride the declared broadcast patterns.
+    Doubles stay exact: every ratio argument is a product of counts
+    < 2^53, so both engines compute bit-identical per-term values and the
+    6-decimal round absorbs summation-order noise.
+
+    Returns (source, n_toks, n_distinct_toks, kl_nats)."""
+    import pyspark.sql.functions as F
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(words(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # persist: the (source, tok) count frame has three consumers (global
+    # marginal, per-source totals, the scoring join); callers materialize
+    # the returned #sources-row frame immediately, so lifetime is short
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st")).persist()
+    g = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = st.agg(F.sum("c_st").alias("n"))
+    term = (F.col("c_st") / F.col("n_s")) * F.log(
+        (F.col("c_st").cast("double") * F.col("n")) / (F.col("n_s").cast("double") * F.col("c_t"))
+    )
+    return (
+        st.join(g, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_distinct_toks"),
+            F.round(F.sum(term), 6).alias("kl_nats"),
+        )
+    )
+
+
+def winnow_fingerprints(text: Column, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer, Wilkerson & Aiken 2003,
+    SIGMOD — the MOSS algorithm, public): over the sequence of word-3-gram
+    hashes, slide a window of ``w`` consecutive hashes and select each
+    window's minimum; the DISTINCT selected set is the fingerprint.
+    Guarantees any shared run of ≥ w+2 words between two documents shares a
+    fingerprint, with ~2/(w+1) selection density — the local-minima trick
+    that makes substring-level matching index-sized instead of text-sized.
+
+    Pure codegen array ops, zero shuffle, zero Python; hashes are the
+    portable mod-1e9+7 word-3-gram polynomials (see ``word_codes``) so the
+    DuckDB oracle regenerates the selection bit-for-bit.  Returns the
+    sorted distinct fingerprint array (array<long>)."""
+    import pyspark.sql.functions as F
+
+    def _select(hs: Column) -> Column:
+        wins = (
+            F.when(
+                F.size(hs) >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(hs) - w),
+                    lambda i: F.array_min(F.slice(hs, (i + 1).cast("int"), w)),
+                ),
+            )
+            .when(F.size(hs) >= 1, F.array(F.array_min(hs)))
+            .otherwise(F.array().cast("array<bigint>"))
+        )
+        return F.array_sort(F.array_distinct(wins))
+
+    def _hashes(codes: Column) -> Column:
+        return F.when(
+            F.size(codes) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(codes) - 2),
+                lambda i: F.pmod(
+                    F.pmod(
+                        F.element_at(codes, i.cast("int")) * 31
+                        + F.element_at(codes, (i + 1).cast("int")),
+                        F.lit(MOD),
+                    )
+                    * 31
+                    + F.element_at(codes, (i + 2).cast("int")),
+                    F.lit(MOD),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    # let-bind both arrays: codes feed 3 element_at references per shingle
+    # and hs feeds size + slice per window — HOFs block CSE and a staged
+    # alias inlines through pushed predicates (see ``let``)
+    return let(word_codes(text), lambda codes: let(_hashes(codes), _select))

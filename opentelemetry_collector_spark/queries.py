@@ -1581,6 +1581,108 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "token_kl_by_source",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    st AS (
+      SELECT source, tok, count(*) AS c_st FROM toks
+      WHERE tok <> '' GROUP BY 1, 2),
+    g  AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY 1),
+    ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+    tot AS (SELECT sum(c_st) AS n FROM st)
+    SELECT st.source,
+           max(n_s) AS n_toks,
+           count(*) AS n_distinct_toks,
+           ROUND(SUM((c_st / CAST(n_s AS DOUBLE))
+                     * ln((CAST(c_st AS DOUBLE) * n) / (CAST(n_s AS DOUBLE) * c_t))), 6)
+             AS kl_nats
+    FROM st JOIN g USING (tok) JOIN ns USING (source) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def token_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture diagnostic (engine extension): per-source unigram-distribution
+    KL divergence from the corpus marginal — the drift signal a data-mixing
+    run consults before reweighting sources.  One corpus explode; every
+    later frame is vocabulary-sized (see operators/textstats.py)."""
+    from .operators.textstats import source_token_kl
+
+    return source_token_kl(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_winnowing_fingerprint",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN len(codes) >= 3 THEN
+               list_transform(range(1, len(codes) - 1), i ->
+                 (((codes[i]*31 + codes[i+1]) % 1000000007) * 31 + codes[i+2])
+                   % 1000000007)
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM w),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+                    list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+                  WHEN len(hs) >= 1 THEN [list_min(hs)]
+                  ELSE CAST([] AS BIGINT[]) END AS wins
+      FROM h),
+    fp AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM sel)
+    SELECT doc_id, len(fps) AS n_fp,
+           md5(array_to_string(fps, '-')) AS fp_md5
+    FROM fp
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (Schleimer 2003 / MOSS): min-hash-per-window
+    selection over the word-3-gram hash sequence, window w=4 — the
+    index-sized substring-match fingerprint.  Pure codegen array ops, zero
+    shuffle; the md5 over the sorted distinct selection value-checks the
+    exact selected set, not just its size."""
+    from .operators.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), w=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.md5(F.concat_ws("-", F.transform(fps, lambda x: x.cast("string")))).alias(
+            "fp_md5"
+        ),
+    )
+
+
+@_q(
+    "contamination_matrix",
+    """
+    WITH sh AS (
+      SELECT DISTINCT source, unnest(list_transform(
+          range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+               || ' ' || string_split(text,' ')[i+2])) AS h
+      FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+    FROM sh a JOIN sh b USING (h)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix: distinct shared 3-gram shingles per
+    unordered source pair — the decontamination audit run before a mixture
+    is frozen.  Per-shingle multiplicity after distinct is ≤ #sources, so
+    the self-join fan-out is bounded with no df cap (operators/dedup.py)."""
+    from .operators.dedup import cross_source_overlap
+
+    return cross_source_overlap(
+        _t(spark, sf_dir, "documents"), "source", "text", n=3, mode="raw"
+    )
+
+
+@_q(
     "text_dup_spans",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2462,6 +2564,53 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=3)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+ORACLES["dedup_cluster_sizes"] = f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents WHERE doc_id < 500),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash FROM words),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS comp FROM nodes
+      UNION
+      SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+    comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, count(*) AS sz FROM comps GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY 1
+"""
+
+
+@_q("dedup_cluster_sizes", None)  # oracle registered above (recursive CTE)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: histogram of near-dup CLUSTER sizes (simhash pair graph,
+    hamming ≤ 3 → connected components) plus the removable-doc mass per
+    size — the report that tells a 100 TB run how much a dedup pass will
+    actually delete and whether one pathological mega-cluster dominates.
+    Components output is graph-sized; both aggregates after it are
+    histogram-sized."""
+    from .operators.components import connected_components
+    from .operators.dedup import simhash, simhash_banded_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sig = simhash(d, "doc_id", "text", bits=16)
+    pairs = simhash_banded_pairs(sig, bits=16, bands=4, max_hamming=3)
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("sz") - F.lit(1)).alias("n_removable"),
     )
 
 
@@ -3964,6 +4113,10 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "token_kl_by_source",
+    "text_winnowing_fingerprint",
+    "contamination_matrix",
+    "dedup_cluster_sizes",
     "text_pii_redact",
     "text_gopher_gates",
     "bpe_encode",
@@ -4014,14 +4167,14 @@ _DRIVER_PRIORITY = [
     "enrich_broadcast",
     "join_star_schema",
     "topk_slowest_partitions",
+    # ---- driver window boundary (50 keys above) ----
+    # (everything below keeps its r02-green row; re-verified by the local
+    # full gate, deferred from the 50-key driver window by the ten new keys
+    # + the text_repetition re-check)
     "sink_json",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
-    # ---- driver window boundary (50 keys above) ----
-    # (everything below keeps its r02-green row; re-verified by the local
-    # full gate, deferred from the 50-key driver window by the six new keys
-    # + the text_repetition re-check)
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",

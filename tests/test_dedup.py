@@ -434,3 +434,43 @@ def test_incremental_dedup_batch_vs_snapshot(spark):
     # against the updated snapshot yields zero survivors
     replay, _ = incremental_dedup(batch, new_seen, "doc_id", "text")
     assert replay.count() == 0
+
+
+def test_cross_source_overlap_counts(spark):
+    """Pairwise distinct-shared-shingle counts on a hand-built fixture; a
+    shingle present in 3 sources contributes 1 to each of the 3 pairs."""
+    from opentelemetry_collector_spark.operators.dedup import cross_source_overlap
+
+    common = "red green blue"          # one 3-gram shared by s1, s2, s3
+    df = spark.createDataFrame(
+        [
+            (1, common + " aa bb cc", "s1"),
+            (2, common + " dd ee ff", "s2"),
+            (3, "zz " + common, "s3"),
+            (4, "qq rr ss tt", "s3"),  # no overlap contribution
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.src_a, r.src_b): r.n_shared
+        for r in cross_source_overlap(df, "source", "text", n=3).collect()
+    }
+    # docs 1 and 3 additionally share NO other 3-gram; each pair shares
+    # exactly the one common shingle
+    assert out == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+    # duplicate shingles inside one source count once (distinct semantics)
+    df2 = spark.createDataFrame(
+        [
+            (1, common + " " + common, "s1"),
+            (2, common, "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out2 = {
+        (r.src_a, r.src_b): r.n_shared
+        for r in cross_source_overlap(df2, "source", "text", n=3).collect()
+    }
+    # doc1's text 'red green blue red green blue' has shingles: the common
+    # one (twice -> once) plus 3 bridging shingles not present in s2
+    assert out2 == {("s1", "s2"): 1}

@@ -182,6 +182,8 @@ _NESTED_LOOP_OK = {
     "text_dsir_weight",        # V / N_target / N_corpus: three 1-row broadcasts
     "text_dsir_weight_hashed",     # 1-row dense bucket-LM array broadcast
     "text_unigram_logprob_hashed",  # same 1-row dense-array + total broadcast
+    "text_bm25_topk",         # (N, avgdl) corpus scalars: 1-row broadcast into hit stream
+    "token_kl_by_source",     # grand-total scalar: 1-row broadcast into vocab-sized frame
 }
 
 
@@ -247,6 +249,7 @@ def test_map_only_keys_have_no_exchange(spark):
         "text_gopher_gates",
         "bpe_encode",
         "text_quality_classifier",
+        "text_winnowing_fingerprint",
     ):
         plan = explain(QUERIES[key](spark, SF), "simple")
         assert "Exchange" not in plan, f"{key} shuffles:\n{plan}"

@@ -379,3 +379,68 @@ def test_let_binding_semantics(spark):
     ).collect()
     got = {r.doc_id: r.n for r in out}
     assert got[1] == 8 and got[2] == 8 and (got[3] is None or got[3] == -1)
+
+
+def test_source_token_kl_values(spark):
+    """KL(P_source || P_corpus): a source matching the corpus marginal gets
+    ~0; a skewed source gets the hand-computed positive value."""
+    import math
+
+    import pyspark.sql.functions as F
+    from opentelemetry_collector_spark.operators.textstats import source_token_kl
+
+    # two sources with IDENTICAL distributions -> corpus marginal equals
+    # each source's distribution -> KL = 0 for both
+    df = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in source_token_kl(df).collect()}
+    assert out["s1"].kl_nats == 0.0 and out["s2"].kl_nats == 0.0
+    assert out["s1"].n_toks == 3 and out["s1"].n_distinct_toks == 2
+
+    # skewed: s1 = {a:2}, s2 = {a:1, b:1}; corpus = {a:3, b:1}, N=4
+    df2 = spark.createDataFrame(
+        [(1, "a a", "s1"), (2, "a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.kl_nats for r in source_token_kl(df2).collect()}
+    kl_s1 = 1.0 * math.log((2 * 4) / (2 * 3))
+    kl_s2 = 0.5 * math.log((1 * 4) / (2 * 3)) + 0.5 * math.log((1 * 4) / (2 * 1))
+    assert got["s1"] == round(kl_s1, 6)
+    assert got["s2"] == round(kl_s2, 6)
+    # KL >= 0 always (Gibbs); the skewed-away source is strictly positive
+    assert got["s1"] > 0 and got["s2"] > 0
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer 2003 thm): two docs sharing a run of
+    >= w+2 words (w window-min selections over 3-gram hashes cover any
+    w+2-word substring) share at least one fingerprint; short docs select
+    min-of-all; sub-3-word docs select nothing."""
+    import pyspark.sql.functions as F
+    from opentelemetry_collector_spark.operators.textstats import winnow_fingerprints
+
+    w = 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+2 words shared
+    df = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " pp qq rr"),
+            (2, "mm nn oo " + shared),
+            (3, "alpha beta gamma delta"),  # 2 hashes < w -> min of all
+            (4, "alpha beta"),              # < 3 words -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), w=w).alias("fps")
+        ).collect()
+    }
+    assert out[1] & out[2], "w+2-word shared run must share a fingerprint"
+    assert len(out[3]) == 1
+    assert out[4] == set()
+    # selection density: ~2/(w+1) of hashes, never more than the hash count
+    n_hashes_1 = len("xx yy ".split() + shared.split() + " pp qq rr".split()) - 2
+    assert 1 <= len(out[1]) <= n_hashes_1
