@@ -96,6 +96,13 @@ HEADLINE = [
     "text_pii_redact",
     "text_gopher_gates",
     "bpe_encode",
+    "text_bm25_topk",
+    "dedup_incremental",
+    "dedup_priority_groups",
+    "token_kl_by_source",
+    "text_winnowing_fingerprint",
+    "contamination_matrix",
+    "dedup_cluster_sizes",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the
