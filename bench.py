@@ -103,6 +103,8 @@ HEADLINE = [
     "text_winnowing_fingerprint",
     "contamination_matrix",
     "dedup_cluster_sizes",
+    "connector_servicegraph",
+    "text_paragraph_dedup",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -730,3 +730,84 @@ def cross_source_overlap(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    para_words: int = 20,
+    with_text: bool = False,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the C4 / Dolma `dedupe.paragraphs`
+    action: drop every later occurrence of a paragraph seen anywhere in the
+    corpus, keep documents' surviving paragraphs in order).  This corpus is
+    newline-free, so "paragraph" is the deterministic fixed-width analog —
+    consecutive *para_words*-word blocks (the last block may be short);
+    with newline-delimited text the split expression is the only change.
+
+    Contrast with :func:`remove_duplicate_spans`: that operator digests
+    every OVERLAPPING k-word window (|words| rows/doc) and excises exact
+    interval unions; this one digests |words|/P non-overlapping blocks —
+    the cheap first-pass form the public pipelines run corpus-wide before
+    any window-level pass.
+
+    Shape at 10¹² rows: block digests flow into ONE hash aggregate
+    (map-side partial combine — a boilerplate paragraph contributes one
+    partial per task, never a windowed buffer; min(struct(id, idx)) picks
+    the canonical first occurrence by (id, idx) order, the same
+    rerun-stable rule as exact_dedup) and one equi-join back on the digest
+    (build side is 1 row per digest; probe-side zipf heat is AQE
+    skew-split).  Reassembly is a per-doc hash agg over kept blocks.  The
+    cleaned text is value-checked as md5; fully-deduped docs report
+    n_kept=0 with md5('').
+
+    Returns (id, n_para, n_kept, clean_md5[, clean_text])."""
+    p = F.lit(para_words)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        words(F.col(text_col)).alias("_w"),
+    ).select(
+        "id", "_w", F.ceil(F.size("_w") / p).cast("long").alias("n_para")
+    )
+    paras = base.select(
+        "id",
+        "n_para",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_para") - 1),
+                lambda i: F.array_join(F.slice("_w", i * p + 1, p), " "),
+            )
+        ).alias("idx", "para"),
+    ).withColumn("idx", F.col("idx").cast("long")).withColumn(
+        "h", F.md5("para")
+    )
+    keeper = paras.groupBy("h").agg(
+        F.min(F.struct("id", "idx")).alias("_k")
+    )
+    kept = (
+        paras.join(keeper, "h")
+        .filter((F.col("id") == F.col("_k.id")) & (F.col("idx") == F.col("_k.idx")))
+    )
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("_ct"),
+    )
+    out = (
+        base.select("id", "n_para")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            "n_para",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce("_ct", F.lit(""))).alias("clean_md5"),
+            F.coalesce("_ct", F.lit("")).alias("clean_text"),
+        )
+    )
+    return out if with_text else out.drop("clean_text")

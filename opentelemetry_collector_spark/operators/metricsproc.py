@@ -363,3 +363,56 @@ def exponential_histogram(
             .alias("n_values"),
         )
     )
+
+
+def service_graph(
+    spans: DataFrame,
+    trace_col: str,
+    span_id_col: str,
+    parent_id_col: str,
+    service_col: str,
+    duration_col: str,
+    error_pred: Column,
+    bounds: list[float],
+) -> DataFrame:
+    """Service-graph connector (contrib servicegraphconnector analog,
+    `connector/servicegraphconnector/connector.go` upstream behavior): pair
+    each span with its parent by (trace_id, parent_span_id == span_id) and
+    emit one row per (client_service, server_service) dependency edge with
+    call count, error count, total server-side duration, and an
+    explicit-bounds latency histogram (same cumulative-LE column layout as
+    :func:`red_metrics`).
+
+    The reference holds an in-memory pair store keyed by (trace, span) and
+    matches client/server spans as they stream in; the batch-native shape is
+    the same pairing as ONE equi-join: child spans (the server side of the
+    edge, carrying duration + error) join parent spans (the client side,
+    projected to just the service label) on the composite key.  Root spans
+    (NULL parent) drop out of the inner join exactly like the reference's
+    unpaired-span expiry.  At 10¹² rows both join sides hash-partition on
+    the same (trace, id) composite, the parent side is projected to 3
+    columns before the exchange, and the edge aggregate that follows is a
+    #edges-sized hash agg with map-side partials — the only wide data
+    movement is the one pairing shuffle, which no service-graph construction
+    can avoid without co-bucketed input (sources/bucketed.py covers that
+    variant for repeated builds over the same table).
+    """
+    child = spans.select(
+        F.col(trace_col).alias("_tr"),
+        F.col(parent_id_col).alias("_pid"),
+        F.col(service_col).alias("server"),
+        F.col(duration_col).alias("_dur"),
+        error_pred.alias("_err"),
+    ).filter(F.col("_pid").isNotNull())
+    parent = spans.select(
+        F.col(trace_col).alias("_tr"),
+        F.col(span_id_col).alias("_sid"),
+        F.col(service_col).alias("client"),
+    )
+    edges = child.join(
+        parent,
+        (child["_tr"] == parent["_tr"]) & (child["_pid"] == parent["_sid"]),
+    )
+    return edges.groupBy("client", "server").agg(
+        *_red_aggs("_dur", F.col("_err"), bounds)
+    )

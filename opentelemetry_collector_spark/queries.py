@@ -2032,6 +2032,42 @@ def text_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_paragraph_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 20.0) AS BIGINT) AS n_para FROM w),
+    ix AS (SELECT doc_id, ws, n_para, UNNEST(range(0, n_para)) AS idx FROM n),
+    p AS (SELECT doc_id, idx,
+                 array_to_string(ws[(idx*20+1):(idx*20+20)], ' ') AS para
+          FROM ix),
+    r AS (SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+          FROM p),
+    a AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(para, ' ' ORDER BY idx) AS ct
+          FROM r WHERE rn = 1 GROUP BY doc_id)
+    SELECT n.doc_id, n.n_para, COALESCE(a.n_kept, 0) AS n_kept,
+           md5(COALESCE(a.ct, '')) AS clean_md5
+    FROM n LEFT JOIN a ON n.doc_id = a.doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder ext: C4/Dolma paragraph-level exact dedup — drop every
+    later corpus-wide occurrence of a 20-word block, reassemble survivors
+    in order, value-check the cleaned text through an md5 scalar.  The
+    cheap non-overlapping first pass next to text_dup_spans_removed's
+    overlapping-window form: |words|/20 digest rows per doc instead of
+    |words|, ONE min-struct hash agg picks canonical first occurrences
+    (map-side partials — no hot-digest window), one digest equi-join back
+    (AQE skew-split on boilerplate heat)."""
+    from .operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", para_words=20
+    ).withColumnRenamed("id", "doc_id")
+
+
+@_q(
     "dedup_corpus_keep",
     """
     WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -3418,6 +3454,53 @@ def span_metrics_red(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "connector_servicegraph",
+    """
+    WITH sp AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS parent_id
+      FROM events),
+    e AS (
+      SELECT p.event_type AS client, c.event_type AS server, c.value AS dur, c.k
+      FROM sp c JOIN sp p
+        ON c.user_id = p.user_id AND c.parent_id = p.event_id)
+    SELECT client, server, count(*) AS calls,
+           CAST(sum(CASE WHEN k > 90 THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           ROUND(sum(dur), 4) AS duration_sum,
+           CAST(sum(CASE WHEN dur <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_25_0,
+           CAST(sum(CASE WHEN dur <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS le_100_0
+    FROM e GROUP BY client, server
+    """,
+)
+def connector_servicegraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext service-graph connector (contrib servicegraphconnector,
+    `connector/servicegraphconnector/connector.go` upstream behavior): pair
+    child spans with their parents on (trace, parent_span_id == span_id) —
+    the reference's in-memory pair store as ONE batch equi-join — and emit
+    per (client_service, server_service) edge RED metrics: calls, errors,
+    duration sum, explicit-bounds latency histogram.  Parentage here is
+    synthesized as previous-span-in-trace (events carry no parent column);
+    the operator itself takes any frame with an explicit parent id.  Root
+    spans drop out of the inner join like the reference's unpaired expiry."""
+    from pyspark.sql import Window
+
+    from .operators.metricsproc import service_graph
+
+    ev = _t(spark, sf_dir, "events")
+    sp = ev.withColumn(
+        "parent_id",
+        F.lag("event_id").over(Window.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    err = F.get_json_object("props", "$.k").cast("int") > 90
+    return service_graph(
+        sp, "user_id", "event_id", "parent_id", "event_type", "value", err,
+        [25.0, 100.0],
+    )
+
+
+@_q(
     "metrics_transform",
     """
     SELECT CASE event_type WHEN 'view' THEN 'page_view'
@@ -4113,6 +4196,8 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "connector_servicegraph",
+    "text_paragraph_dedup",
     "token_kl_by_source",
     "text_winnowing_fingerprint",
     "contamination_matrix",

@@ -474,3 +474,47 @@ def test_cross_source_overlap_counts(spark):
     # doc1's text 'red green blue red green blue' has shingles: the common
     # one (twice -> once) plus 3 bridging shingles not present in s2
     assert out2 == {("s1", "s2"): 1}
+
+
+def test_paragraph_dedup_basic(spark):
+    """Later occurrences of a block drop; first (by id, idx) survives."""
+    from opentelemetry_collector_spark.operators.dedup import paragraph_dedup
+
+    # para_words=2: doc 1 = [ab, cd], doc 2 = [ab, xy], doc 3 = [cd]
+    rows = [(1, "a b c d"), (2, "a b x y"), (3, "c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in paragraph_dedup(
+            df, "doc_id", "text", para_words=2, with_text=True
+        ).collect()
+    }
+    assert out[1].n_para == 2 and out[1].n_kept == 2
+    assert out[1].clean_text == "a b c d"
+    assert out[2].n_para == 2 and out[2].n_kept == 1
+    assert out[2].clean_text == "x y"          # "a b" already owned by doc 1
+    assert out[3].n_para == 1 and out[3].n_kept == 0
+    assert out[3].clean_text == ""             # fully deduped, row retained
+
+
+def test_paragraph_dedup_within_doc_and_order(spark):
+    """Within-doc repeats drop too; survivors keep document order."""
+    from opentelemetry_collector_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(7, "p q p q r s")], "doc_id long, text string"
+    )
+    out = paragraph_dedup(df, "doc_id", "text", para_words=2, with_text=True).collect()[0]
+    assert out.n_para == 3 and out.n_kept == 2
+    assert out.clean_text == "p q r s"
+
+
+def test_paragraph_dedup_no_hot_digest_window(spark):
+    """The canonical-first pick must be a hash aggregate, not a count/rank
+    window over the digest partition (the dup-span skew lesson)."""
+    from opentelemetry_collector_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = paragraph_dedup(df, "doc_id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan

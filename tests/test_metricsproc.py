@@ -207,3 +207,75 @@ def test_generate_metric_single_aggregate_no_join(spark):
         df, "name", "value", ["host"], "u", "usage", "limit"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_service_graph_edges(spark):
+    """Pair client/server spans on (trace, parent==span), per-edge RED."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.operators.metricsproc import service_graph
+
+    # trace t1: a(frontend) -> b(api) -> c(db); trace t2: d(frontend) -> e(db, error)
+    rows = [
+        ("t1", "a", None, "frontend", 10.0, False),
+        ("t1", "b", "a", "api", 30.0, False),
+        ("t1", "c", "b", "db", 120.0, False),
+        ("t2", "d", None, "frontend", 5.0, False),
+        ("t2", "e", "d", "db", 40.0, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace string, span string, parent string, svc string, "
+              "dur double, is_err boolean"
+    )
+    out = {
+        (r.client, r.server): r
+        for r in service_graph(
+            df, "trace", "span", "parent", "svc", "dur", F.col("is_err"),
+            [25.0, 100.0],
+        ).collect()
+    }
+    # root spans (a, d) never appear as servers; 3 edges total
+    assert set(out) == {("frontend", "api"), ("api", "db"), ("frontend", "db")}
+    e = out[("frontend", "db")]
+    assert e.calls == 1 and e.errors == 1 and e.duration_sum == 40.0
+    assert e.le_25_0 == 0 and e.le_100_0 == 1
+    e2 = out[("api", "db")]
+    assert e2.calls == 1 and e2.errors == 0 and e2.le_100_0 == 0  # 120 > 100
+
+
+def test_service_graph_matches_lag_reference(spark):
+    """On chain-parentage (prev span in trace) the join must reproduce the
+    window-lag reference exactly — the same pairing, different shape."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from opentelemetry_collector_spark.operators.metricsproc import service_graph
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sp = ev.withColumn(
+        "parent_id",
+        F.lag("event_id").over(Window.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    got = (
+        service_graph(
+            sp, "user_id", "event_id", "parent_id", "event_type", "value",
+            F.lit(False), [50.0],
+        )
+        .select("client", "server", "calls")
+        .collect()
+    )
+    ref = (
+        sp.withColumn(
+            "client",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("client").isNotNull())
+        .groupBy("client", F.col("event_type").alias("server"))
+        .count()
+        .collect()
+    )
+    assert {(r.client, r.server): r.calls for r in got} == {
+        (r.client, r.server): r["count"] for r in ref
+    }
