@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "connector_servicegraph",
     "text_paragraph_dedup",
+    "sample_temperature",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -260,6 +260,60 @@ def mixture_sample(
     return _stratified_filter(df, strata_col, id_col, thresholds)
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    total_fraction: float = 1.0,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual α-sampling rule,
+    Devlin et al. 2019 mBERT / Conneau et al. 2020 XLM-R): the target share
+    of stratum s is n_s^α / Σ_t n_t^α — α < 1 flattens the natural
+    distribution toward uniform (α=1 is proportional, α=0 uniform), the
+    standard fix for head sources drowning tail sources in a pretraining
+    mix.  Downsample-only like :func:`mixture_sample` (acceptance =
+    min(1, tf·w_s·N/n_s)); genuine upsampling of the tail composes with
+    ``epoch_replicate``.
+
+    Determinism/parity: the temperature weights are integer-quantized as
+    t_s = floor(n_s^α · 2^scale_bits).  For α = 0.5 the power is computed
+    as IEEE sqrt — correctly rounded in every conforming libm, and the 2^k
+    scaling is exact — so an independent engine reproduces t_s bit-for-bit
+    and the thresholds (exact rational arithmetic over the integer t_s,
+    same construction as ``mixture_sample``) with integer division.  Other
+    α go through libm pow(), which is NOT guaranteed correctly rounded —
+    rerun-stable on one platform, but cross-engine value checks should
+    stick to α = 0.5.  One count aggregate (#strata rows collected —
+    config-sized), then the one-pass portable-hash codegen filter."""
+    import math
+    from fractions import Fraction
+
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    scale = 1 << scale_bits
+    if alpha == 0.5:
+        t = {s: int(math.floor(math.sqrt(n) * scale)) for s, n in counts.items()}
+    else:
+        t = {s: int(math.floor((float(n) ** alpha) * scale)) for s, n in counts.items()}
+    t_total = sum(t.values())
+    thresholds = {}
+    for s, n in counts.items():
+        f = Fraction(total_fraction) * Fraction(t[s], t_total) * n_total
+        thresholds[s] = (
+            min(NUM_SAMPLER_BUCKETS, (NUM_SAMPLER_BUCKETS * f.numerator) // (f.denominator * n))
+            if n
+            else 0
+        )
+    return _stratified_filter(df, strata_col, id_col, thresholds)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -547,6 +547,39 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_temperature",
+    """
+    WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT s, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS tw
+          FROM c),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(tw) AS BIGINT) AS tt
+            FROM t),
+    thr AS (SELECT s, LEAST(16384, (16384 * tw * nt) // (2 * tt * n)) AS th
+            FROM t, tot)
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN thr ON thr.s = d.source
+    WHERE ((d.doc_id % 100003) * 2654435761) % 16384 < thr.th
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation ext: temperature-scaled source mixing (mBERT / XLM-R
+    α-sampling, α=0.5): target share of source s ∝ sqrt(n_s), flattening
+    the zipf head so tail sources survive the mix; keep ≤ 50 % of the
+    corpus, downsample-only.  Temperature weights are integer-quantized
+    from IEEE sqrt (floor(sqrt(n)·2^20) — correctly rounded in every
+    conforming libm, exact 2^k scaling), so the oracle reproduces weights
+    AND thresholds with integer arithmetic; the sample itself is the same
+    portable-hash codegen filter as sample_stratified."""
+    from .operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        d, "source", "doc_id", alpha=0.5, total_fraction=0.5
+    ).select("doc_id", "source")
+
+
+@_q(
     "sample_split",
     """
     SELECT doc_id, source,
@@ -4198,6 +4231,7 @@ _DRIVER_PRIORITY = [
     # (a) never-green: registered mid-round-5, no driver row yet
     "connector_servicegraph",
     "text_paragraph_dedup",
+    "sample_temperature",
     "token_kl_by_source",
     "text_winnowing_fingerprint",
     "contamination_matrix",

@@ -340,3 +340,45 @@ def test_epoch_replicate_exact_copy_counts(spark):
         assert sorted(got.get(i, [])) == list(range(n)), (i, s)
     with pytest.raises(ValueError, match="negative"):
         epoch_replicate(df, "src", "id", {"a": -1.0})
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha=0.5 keeps the tail whole and trims the head toward sqrt shares."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.operators.sampling import temperature_sample
+
+    # head source 900 rows, tail source 100 rows
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "head").otherwise("tail").alias("source"),
+    )
+    out = temperature_sample(df, "source", "doc_id", alpha=0.5, total_fraction=0.5)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # targets: sqrt(900)=30, sqrt(100)=10 -> shares 0.75/0.25 of 500 kept
+    # head acceptance = 375/900 ~ 0.417; tail = 125/100 -> clamped to 1.0
+    assert got["tail"] == 100                      # tail kept whole (no upsample)
+    assert 300 <= got["head"] <= 450               # head trimmed near 375
+    # deterministic: rerun identical
+    again = {r.source: r.n for r in temperature_sample(
+        df, "source", "doc_id", alpha=0.5, total_fraction=0.5
+    ).groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert again == got
+
+
+def test_temperature_sample_alpha_one_is_proportional(spark):
+    """alpha=1 reproduces mixture_sample with natural shares: acceptance =
+    tf for every stratum (up to bucket floor)."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.operators.sampling import temperature_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 < 3, "a").otherwise("b").alias("source"),
+    )
+    out = temperature_sample(df, "source", "doc_id", alpha=1.0, total_fraction=0.5)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # natural shares: both strata accept ~50%
+    assert abs(got["a"] / 1500 - 0.5) < 0.08
+    assert abs(got["b"] / 500 - 0.5) < 0.10
