@@ -106,6 +106,9 @@ HEADLINE = [
     "connector_servicegraph",
     "text_paragraph_dedup",
     "sample_temperature",
+    "token_pmi_topk",
+    "vocab_oov_rate",
+    "pack_efficiency_audit",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -342,3 +342,94 @@ def epoch_shuffle(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
         .join(F.broadcast(offsets), on="_b")
         .select(F.col(id_col), (F.col("_off") + F.col("_r")).alias("shuffle_pos"))
     )
+
+
+def oov_rate_by_source(
+    df: DataFrame, text_col: str, source_col: str, vocab_size: int = 256
+) -> DataFrame:
+    """Tokenizer-coverage audit: per-source out-of-vocabulary occurrence rate
+    against the corpus's own top-``vocab_size`` token vocabulary — the check
+    a pretraining pipeline runs before freezing a tokenizer (a source whose
+    OOV/UNK rate is an outlier is mis-tokenized, wrong-language, or binary
+    junk; cf. the vocabulary-coverage audits in Sennrich et al. 2016 BPE and
+    the fastText-era corpus reports).
+
+    Vocabulary membership is deterministic: rank by (count DESC, token ASC),
+    so boundary ties are stable across engines and reruns.
+
+    Plan shape at 10^12 tokens: one explode feeding a (source, token) hash
+    aggregate (partial map-side combine shrinks it to ~|sources|·|vocab|
+    observed pairs — the explode stream is never shuffled raw); the global
+    vocab is a token-keyed re-aggregate of that table (vocab-sized), and its
+    top-V cut is a broadcast (V rows, config-sized) left-joined back.  The
+    final per-source rollup is a |sources|-group aggregate.  No UDF, no
+    driver collect.
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("n").alias("cn"))
+        .orderBy(F.desc("cn"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    agg = (
+        st.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("total_tok"),
+            F.sum(F.when(F.col("_in").isNull(), F.col("n")).otherwise(F.lit(0))).alias(
+                "oov_tok"
+            ),
+        )
+    )
+    return agg.select(
+        "source",
+        "total_tok",
+        "oov_tok",
+        F.round(F.col("oov_tok").cast("double") / F.col("total_tok"), 6).alias(
+            "oov_rate"
+        ),
+    )
+
+
+def padding_efficiency(
+    df: DataFrame, text_col: str, lengths: tuple[int, ...] = (64, 128, 256, 512)
+) -> DataFrame:
+    """Context-length sizing audit: for each candidate training context
+    length L, the padding waste of the naive one-doc-per-bin layout —
+    ceil(n/L) bins of L tokens each, so pad = ceil(n/L)·L − n per doc.  The
+    fill_ratio column is the number ``pack_sequences`` packing must beat;
+    comparing the two picks the context length / packing policy before a
+    100 TB tokenization run commits to one.
+
+    All arithmetic is exact int64 (``(n + L − 1) div L``, no float ceil), so
+    an independent engine reproduces every cell; the only division is the
+    final rounded ratio.  Plan: per-doc token count (map-only), a
+    |lengths|-way explode of a literal array, one hash aggregate with
+    |lengths| groups.  Linear, no shuffle beyond the final tiny aggregate.
+    """
+    n = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    staged = df.select(n.alias("n")).select(
+        F.explode(F.array([F.lit(int(c)) for c in lengths])).alias("ctx"), F.col("n")
+    )
+    b = staged.withColumn(
+        "bins", F.expr("div(n + ctx - 1, ctx)")
+    )
+    return (
+        b.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tok"),
+            F.sum("bins").alias("n_bins"),
+            F.sum(F.col("bins") * F.col("ctx") - F.col("n")).alias("pad_tok"),
+            F.round(
+                F.sum("n").cast("double") / F.sum(F.col("bins") * F.col("ctx")), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("ctx")
+    )

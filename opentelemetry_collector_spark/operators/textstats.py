@@ -843,3 +843,71 @@ def winnow_fingerprints(text: Column, w: int = 4) -> Column:
     # and hs feeds size + slice per window — HOFs block CSE and a staged
     # alias inlines through pushed predicates (see ``let``)
     return let(word_codes(text), lambda codes: let(_hashes(codes), _select))
+
+
+def pmi_topk(df, text_col: str, k: int = 50, min_count: int = 5):
+    """Collocation mining: top-k adjacent token pairs by pointwise mutual
+    information, PMI(w1,w2) = log2(c(w1,w2)·N / (c(w1)·c(w2))) (Church &
+    Hanks 1990, public) with a ``min_count`` support floor — the standard
+    pass for discovering multi-word expressions worth atomizing before
+    tokenizer training (complements ``bpe_pair_topk``, which ranks by raw
+    pair frequency and so surfaces frequent-but-unsurprising pairs).
+
+    Determinism/parity: the PMI argument is formed as two exact-int64
+    products, c2·N and c(w1)·c(w2), each cast to double only for the final
+    division+log2, then rounded to 9 decimals — so an independent engine
+    reproduces the ranking bit-for-bit (c2·N overflows int64 past ~10^9.5
+    tokens with c2 near N; at that scale flip the two casts to double first,
+    losing only sub-round-off precision).  Ties break on (w1, w2).
+
+    Plan shape: one explode feeds the unigram hash aggregate (vocab-sized
+    after map-side combine); bigrams come from an array transform + explode
+    feeding the bigram hash aggregate; the ``min_count`` HAVING cut happens
+    BEFORE any join, so both PMI joins carry only (surviving bigram) ×
+    (vocab) rows — never the corpus stream (contrast ``bigram_logprob``,
+    which must score every document and so joins the full stream).  N is a
+    1-row broadcast (declared scalar pattern).  Final top-k sorts the
+    surviving-bigram table only.
+    """
+    staged = df.select(words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    uni = (
+        staged.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()  # three consumers: c_w1 join, c_w2 join, corpus total
+    )
+    total = uni.agg(F.sum("c1").alias("nt"))
+    bigrams = staged.filter(F.size(w) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.struct(
+                    F.element_at(w, (i + 1).cast("int")).alias("w1"),
+                    F.element_at(w, (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    bic = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    scored = (
+        bic.join(uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c_w1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c_w2")), "w2")
+        .join(F.broadcast(total))
+    )
+    pmi = F.round(
+        F.log2(
+            (F.col("c2") * F.col("nt")).cast("double")
+            / (F.col("c_w1") * F.col("c_w2")).cast("double")
+        ),
+        9,
+    )
+    return (
+        scored.select("w1", "w2", "c2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -3307,6 +3307,68 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT source, tok, count(*) AS n FROM tok WHERE tok <> ''
+           GROUP BY 1, 2),
+    v AS (SELECT tok FROM (SELECT tok, CAST(sum(n) AS BIGINT) AS cn FROM tf
+                           GROUP BY tok)
+          ORDER BY cn DESC, tok ASC LIMIT 256)
+    SELECT tf.source,
+           CAST(sum(tf.n) AS BIGINT) AS total_tok,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN tf.n ELSE 0 END) AS BIGINT)
+             AS oov_tok,
+           ROUND(CAST(sum(CASE WHEN v.tok IS NULL THEN tf.n ELSE 0 END)
+                      AS DOUBLE) / sum(tf.n), 6) AS oov_rate
+    FROM tf LEFT JOIN v ON v.tok = tf.tok
+    GROUP BY tf.source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing ext: per-source OOV occurrence rate against the corpus's own
+    top-256 token vocabulary — the tokenizer-coverage audit run before
+    freezing a vocab (an outlier source is mis-tokenized or junk).
+    Deterministic vocab boundary (count DESC, token ASC); the explode stream
+    is aggregated to (source, token) pairs before any shuffle and the vocab
+    cut is a broadcast, so nothing corpus-sized moves."""
+    from .operators.packing import oov_rate_by_source
+
+    return oov_rate_by_source(
+        _t(spark, sf_dir, "documents"), "text", "source", vocab_size=256
+    )
+
+
+@_q(
+    "pack_efficiency_audit",
+    """
+    WITH d AS (
+      SELECT len(list_filter(string_split(text, ' '), w -> w <> '')) AS n
+      FROM documents),
+    e AS (SELECT CAST(unnest([64, 128, 256, 512]) AS INTEGER) AS ctx, n FROM d),
+    b AS (SELECT ctx, n, (n + ctx - 1) // ctx AS bins FROM e)
+    SELECT ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tok,
+           CAST(sum(bins) AS BIGINT) AS n_bins,
+           CAST(sum(bins * ctx - n) AS BIGINT) AS pad_tok,
+           ROUND(CAST(sum(n) AS DOUBLE) / sum(bins * ctx), 6) AS fill_ratio
+    FROM b GROUP BY ctx ORDER BY ctx
+    """,
+)
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing ext: padding-waste audit of the naive one-doc-per-bin layout
+    at candidate context lengths (64/128/256/512) — exact int64 bin
+    arithmetic, so the fill_ratio table an engineer uses to pick the context
+    length (and to judge what ``pack_sequences`` must beat) value-matches an
+    independent engine.  Map-only + one |lengths|-group aggregate."""
+    from .operators.packing import padding_efficiency
+
+    return padding_efficiency(_t(spark, sf_dir, "documents"), "text")
+
+
+@_q(
     "chunk_token_stream",
     f"""
     WITH t AS (SELECT doc_id, {_WORD_CODES_SQL} AS codes FROM documents),
@@ -3836,6 +3898,43 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "token_pmi_topk",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT unnest(w) AS tok FROM t),
+    uni AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+             i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+      FROM t WHERE len(w) >= 2),
+    bg2 AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg),
+    bic AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg2
+            GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT b.w1, b.w2, b.c2,
+           ROUND(log2(CAST(b.c2 * nt.n AS DOUBLE)
+                      / CAST(u1.c1 * u2.c1 AS DOUBLE)), 9) AS pmi
+    FROM bic b
+    JOIN uni u1 ON u1.tok = b.w1
+    JOIN uni u2 ON u2.tok = b.w2
+    CROSS JOIN nt
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+    """,
+)
+def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ext: top-50 collocations by pointwise mutual information with a
+    min-count-5 support floor (Church & Hanks 1990) — the multi-word-
+    expression discovery pass before tokenizer training; complements
+    bpe_pair_topk's raw-frequency ranking.  Exact-int64 products cast to
+    double only for the final log2 (rounded to 9 dp), so the ranking is
+    engine-portable; the support cut precedes every join, so the PMI joins
+    carry only surviving bigrams × vocab rows, never the corpus stream."""
+    from .operators.textstats import pmi_topk
+
+    return pmi_topk(_t(spark, sf_dir, "documents"), "text", k=50, min_count=5)
+
+
+@_q(
     "text_ccnet_buckets",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -4232,6 +4331,9 @@ _DRIVER_PRIORITY = [
     "connector_servicegraph",
     "text_paragraph_dedup",
     "sample_temperature",
+    "token_pmi_topk",
+    "vocab_oov_rate",
+    "pack_efficiency_audit",
     "token_kl_by_source",
     "text_winnowing_fingerprint",
     "contamination_matrix",

@@ -407,3 +407,45 @@ def test_yaml_bad_filter_condition_fails_at_load():
     bad = YAML_OTTL.replace("- 'level == \"DEBUG\"'", "- 'level =='")
     with pytest.raises(ConfigError):
         spec_from_yaml(bad)
+
+
+def test_oov_rate_by_source(spark):
+    """Vocab membership is (count desc, tok asc)-ranked; OOV mass is exact."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.operators.packing import oov_rate_by_source
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x y"),      # x:3 y:1
+            ("a", "x y z"),        # z:1
+            ("b", "q q y x"),      # q:2
+        ],
+        "source string, text string",
+    )
+    # global counts: x:5 q:2 y:3 z:1 -> top-2 vocab = {x, y}
+    out = {r.source: r for r in oov_rate_by_source(df, "text", "source", 2).collect()}
+    assert out["a"].total_tok == 7 and out["a"].oov_tok == 1        # z
+    assert out["b"].total_tok == 4 and out["b"].oov_tok == 2        # q q
+    assert abs(out["b"].oov_rate - 0.5) < 1e-9
+    # tie at the boundary resolves by token asc: counts q:2 y:2 with vocab=3
+    df2 = spark.createDataFrame(
+        [("s", "x x x q q y y")], "source string, text string"
+    )
+    o2 = oov_rate_by_source(df2, "text", "source", 2).collect()[0]
+    # top-2 = x(3) then q(2) beats y(2) on tok asc -> OOV = y y
+    assert o2.oov_tok == 2
+
+
+def test_padding_efficiency_exact_bins(spark):
+    from opentelemetry_collector_spark.operators.packing import padding_efficiency
+
+    df = spark.createDataFrame(
+        [("a b c",), ("d e f g h",), ("",)], "text string"
+    )  # n = 3, 5, 0
+    out = {r.ctx: r for r in padding_efficiency(df, "text", lengths=(4,)).collect()}
+    r = out[4]
+    # bins: ceil(3/4)=1, ceil(5/4)=2, 0-token doc -> 0 bins
+    assert r.n_docs == 3 and r.n_tok == 8 and r.n_bins == 3
+    assert r.pad_tok == 3 * 4 - 8
+    assert r.fill_ratio == round(8 / 12, 6)  # operator rounds to 6 dp

@@ -444,3 +444,27 @@ def test_winnow_fingerprints_guarantee(spark):
     # selection density: ~2/(w+1) of hashes, never more than the hash count
     n_hashes_1 = len("xx yy ".split() + shared.split() + " pp qq rr".split()) - 2
     assert 1 <= len(out[1]) <= n_hashes_1
+
+
+def test_pmi_topk_ranks_surprising_pairs(spark):
+    """A pair that always co-occurs outranks a frequent-but-independent pair;
+    the support floor drops rare pairs entirely."""
+    import math
+
+    from opentelemetry_collector_spark.operators.textstats import pmi_topk
+
+    rows = (
+        [("hong kong",)] * 5            # perfectly associated, c2 = 5
+        + [("the cat",)] * 5 + [("the dog",)] * 5   # 'the' spreads over 2 pairs
+        + [("rare pair",)] * 2          # below min_count=5
+    )
+    df = spark.createDataFrame(rows, "text string")
+    out = pmi_topk(df, "text", k=10, min_count=5).collect()
+    pairs = [(r.w1, r.w2) for r in out]
+    assert ("rare", "pair") not in pairs
+    assert pairs[0] == ("hong", "kong")
+    byp = {(r.w1, r.w2): r for r in out}
+    n_tok = 34  # 2*5 + 2*10 + 2*2 tokens
+    exp = round(math.log2(5 * n_tok / (5 * 5)), 9)
+    assert abs(byp[("hong", "kong")].pmi - exp) < 1e-9
+    assert byp[("the", "cat")].pmi < byp[("hong", "kong")].pmi
