@@ -49,6 +49,7 @@ def build(
     dup_span_digest: str = "md5",
     pii_redact: bool = False,
     mixture: dict[str, float] | None = None,
+    temperature_alpha: float | None = None,
     total_fraction: float = 0.5,
     budget: int | None = None,
     epochs: dict[str, float] | None = None,
@@ -80,6 +81,7 @@ def build(
         epoch_replicate,
         hash_split,
         mixture_sample,
+        temperature_sample,
         token_budget_sample,
     )
     from opentelemetry_collector_spark.operators.textstats import repetition_stats
@@ -146,9 +148,19 @@ def build(
         )
         keep_ids = weights_df.filter(F.col("avg_llr") >= dsir_min).select("doc_id")
         gated = gated.join(keep_ids, "doc_id", "left_semi").unionByName(exemplar)
+    if mixture and temperature_alpha is not None:
+        raise ValueError("--mixture and --temperature-alpha are exclusive: "
+                         "explicit target weights vs n^alpha-derived weights")
     if mixture:
         gated = mixture_sample(
             gated, "source", "doc_id", mixture, total_fraction=total_fraction
+        )
+    elif temperature_alpha is not None:
+        # alpha-sampling (mBERT/XLM-R): source share proportional to n^alpha,
+        # weights derived from the GATED corpus counts (post-dedup/quality)
+        gated = temperature_sample(
+            gated, "source", "doc_id",
+            alpha=temperature_alpha, total_fraction=total_fraction,
         )
     if budget:
         gated = token_budget_sample(
@@ -211,6 +223,9 @@ def main() -> None:
                     help="replace emails/SSNs/phones/IPv4s with typed "
                          "sentinels (functions.pii) before the quality gates")
     ap.add_argument("--mixture", default=None, help='JSON, e.g. {"src0":0.25,...}')
+    ap.add_argument("--temperature-alpha", type=float, default=None,
+                    help="alpha-sampling alternative to --mixture: source "
+                         "share proportional to n^alpha (0.5 = sqrt flattening)")
     ap.add_argument("--total-fraction", type=float, default=0.5)
     ap.add_argument("--budget", type=int, default=None, help="per-source char budget")
     ap.add_argument("--epochs", default=None, help='JSON fractional epochs per source')
@@ -246,6 +261,7 @@ def main() -> None:
         dup_span_digest=args.dup_span_digest,
         pii_redact=args.pii_redact,
         mixture=json.loads(args.mixture) if args.mixture else None,
+        temperature_alpha=args.temperature_alpha,
         total_fraction=args.total_fraction,
         budget=args.budget,
         epochs=json.loads(args.epochs) if args.epochs else None,

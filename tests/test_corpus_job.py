@@ -106,3 +106,23 @@ def test_build_with_pii_redact(spark):
         jaccard=0.99,
     )
     assert packed_sig(with_flag) == packed_sig(pre_scrubbed)
+
+
+def test_build_with_temperature_alpha(spark):
+    """--temperature-alpha replaces --mixture: the head source is trimmed
+    toward its sqrt share while smaller sources keep more of their mass;
+    the two mixing modes are mutually exclusive."""
+    import pytest
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_prep_job import build
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    flat = build(spark, corpus, bench, temperature_alpha=0.5, total_fraction=0.5)
+    kept = flat["kept"].collect()
+    assert kept
+    # every kept doc came from the gated corpus (no upsampling w/o epochs)
+    assert len({r.doc_id for r in kept}) == len(kept)
+    with pytest.raises(ValueError, match="exclusive"):
+        build(spark, corpus, bench, mixture={"src0": 1.0}, temperature_alpha=0.5)
