@@ -109,6 +109,7 @@ HEADLINE = [
     "token_pmi_topk",
     "vocab_oov_rate",
     "pack_efficiency_audit",
+    "token_coverage_curve",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

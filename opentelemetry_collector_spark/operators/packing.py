@@ -433,3 +433,54 @@ def padding_efficiency(
         )
         .orderBy("ctx")
     )
+
+
+def token_coverage_curve(
+    df: DataFrame, text_col: str, max_rank_log2: int = 16
+) -> DataFrame:
+    """Vocabulary-sizing curve: for each power-of-two rank V = 1, 2, 4, …,
+    the fraction of all corpus token OCCURRENCES covered by the top-V tokens
+    — the plot a tokenizer design reads to pick vocab size (the knee of this
+    curve is where BPE merges stop paying; cf. the coverage tables in
+    Sennrich et al. 2016).  Ranking is (count DESC, token ASC), so the curve
+    is deterministic across engines and reruns.
+
+    Scale shape: the corpus stream is reduced to a token-keyed hash
+    aggregate (map-side combine; vocab-sized output) before anything else.
+    The rank assignment is a global Window over THE VOCAB TABLE ONLY —
+    bounded by distinct-token count, which does not grow with corpus size
+    (Heaps-law sublinear; ~10^6 rows at web scale), so the single-partition
+    window sort is a deliberate, documented exception to the no-global-
+    window rule (contrast ``epoch_shuffle``, whose sort domain IS the
+    corpus and therefore uses the two-phase rank).  The corpus total rides
+    the same aggregate; output is ≤ max_rank_log2+1 rows.
+    """
+    from pyspark.sql import Window
+
+    uni = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = uni.select(
+        F.col("n"),
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    marks = [1 << i for i in range(max_rank_log2 + 1)]
+    return (
+        ranked.filter(F.col("rank").isin(marks))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("cum").alias("cum_tok"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("rank")
+    )

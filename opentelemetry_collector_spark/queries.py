@@ -3341,6 +3341,37 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "token_coverage_curve",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    uni AS (SELECT tok, count(*) AS n FROM tok WHERE tok <> '' GROUP BY tok),
+    r AS (SELECT n,
+                 row_number() OVER (ORDER BY n DESC, tok ASC) AS rank,
+                 CAST(sum(n) OVER (ORDER BY n DESC, tok ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(sum(n) OVER () AS BIGINT) AS total
+          FROM uni)
+    SELECT CAST(rank AS BIGINT) AS rank, cum AS cum_tok,
+           ROUND(CAST(cum AS DOUBLE) / total, 6) AS coverage
+    FROM r
+    WHERE rank IN (1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,
+                   32768,65536)
+    ORDER BY rank
+    """,
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing ext: cumulative corpus coverage of the top-2^k vocabulary —
+    the curve a tokenizer design reads to pick vocab size.  Deterministic
+    (count DESC, token ASC) ranking; the corpus reduces to a token-keyed
+    hash aggregate first, and the rank window runs over the vocab table
+    only (bounded, Heaps-law sublinear — the documented exception to the
+    no-global-window rule)."""
+    from .operators.packing import token_coverage_curve
+
+    return token_coverage_curve(_t(spark, sf_dir, "documents"), "text")
+
+
+@_q(
     "pack_efficiency_audit",
     """
     WITH d AS (
@@ -4334,6 +4365,7 @@ _DRIVER_PRIORITY = [
     "token_pmi_topk",
     "vocab_oov_rate",
     "pack_efficiency_audit",
+    "token_coverage_curve",
     "token_kl_by_source",
     "text_winnowing_fingerprint",
     "contamination_matrix",

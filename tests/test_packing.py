@@ -449,3 +449,19 @@ def test_padding_efficiency_exact_bins(spark):
     assert r.n_docs == 3 and r.n_tok == 8 and r.n_bins == 3
     assert r.pad_tok == 3 * 4 - 8
     assert r.fill_ratio == round(8 / 12, 6)  # operator rounds to 6 dp
+
+
+def test_token_coverage_curve_monotone_and_exact(spark):
+    from opentelemetry_collector_spark.operators.packing import token_coverage_curve
+
+    # counts: a:4 b:2 c:1 d:1 -> total 8; rank order a,b,c,d (count desc, tok asc)
+    df = spark.createDataFrame(
+        [("a a b c",), ("a a b d",)], "text string"
+    )
+    out = token_coverage_curve(df, "text", max_rank_log2=2).collect()
+    got = {r.rank: (r.cum_tok, r.coverage) for r in out}
+    assert got[1] == (4, 0.5)           # 'a' alone covers half
+    assert got[2] == (6, 0.75)          # +'b'
+    assert got[4] == (8, 1.0)           # full vocab
+    covs = [r.coverage for r in out]
+    assert covs == sorted(covs)
