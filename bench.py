@@ -110,6 +110,7 @@ HEADLINE = [
     "vocab_oov_rate",
     "pack_efficiency_audit",
     "token_coverage_curve",
+    "dedup_soft_weights",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -84,6 +84,31 @@ def dedup_keep_priority(
     return df.join(groups, on=id_col, how="left_semi")
 
 
+def soft_dedup_weights(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SOFT deduplication (SoftDeDup, He et al. ACL 2024): instead of
+    dropping duplicates, weight every copy by the inverse of its exact
+    duplicate-cluster size, ``weight = 1 / cluster_size`` — downstream
+    samplers then draw each distinct text with the same total mass it would
+    have after a hard dedup, but no copy (and none of its provenance
+    metadata) is discarded, and the weight doubles as a "commonness" score
+    for curriculum/mixture tuning.
+
+    Returns the skinny frame ``(id_col, cluster_size, weight)``.  Plan: one
+    map-side md5, one partial-combinable (fp, count) hash aggregate, one
+    equi-join of the two skinny frames on fp — the text itself NEVER
+    shuffles.  Callers re-join the weights on ``id_col``, a uniform key, so
+    a boilerplate mega-cluster (one page duplicated 10^7 times at web
+    scale) skews only the count aggregate — which AQE's skew-join handles —
+    and never pins all copies of the hot text into one task."""
+    fp = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_fp"))
+    sizes = fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return fp.join(sizes, "_fp").select(
+        F.col(id_col),
+        F.col("cluster_size"),
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )
+
+
 def incremental_dedup(
     new_batch: DataFrame,
     seen_fps: DataFrame | None,

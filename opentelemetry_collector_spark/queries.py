@@ -2684,6 +2684,49 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_soft_weights",
+    """
+    WITH fp AS (
+      SELECT doc_id, source, n_chars, md5(text) AS fp FROM documents),
+    sz AS (SELECT fp, count(*) AS cluster_size FROM fp GROUP BY 1),
+    w AS (SELECT f.source, f.n_chars, s.cluster_size
+          FROM fp f JOIN sz s USING (fp))
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           ROUND(sum(1.0 / cluster_size), 4) AS eff_docs,
+           ROUND(sum(n_chars * (1.0 / cluster_size)), 4) AS eff_chars
+    FROM w GROUP BY source
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup audit (SoftDeDup, He et al. ACL 2024): weight every doc
+    by 1/|exact cluster| instead of dropping dups, then report per source
+    the raw vs EFFECTIVE corpus mass (docs and chars) a weighted sampler
+    would draw — the number that tells a 100 TB mixture tune how much of
+    each source survives soft dedup without committing to a delete.  The
+    weights come from operators/dedup.soft_dedup_weights (skinny (fp, id)
+    shuffle, text never moves); the re-join is on the uniform doc_id key so
+    a boilerplate mega-cluster cannot pin one task."""
+    from .operators.dedup import soft_dedup_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = soft_dedup_weights(d, "doc_id", "text")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .join(w, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+            F.round(F.sum("weight"), 4).alias("eff_docs"),
+            F.round(F.sum(F.col("n_chars") * F.col("weight")), 4).alias("eff_chars"),
+        )
+    )
+
+
+@_q(
     "dedup_ngram_jaccard",
     """
     WITH sh AS (
@@ -4359,6 +4402,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "dedup_soft_weights",
     "connector_servicegraph",
     "text_paragraph_dedup",
     "sample_temperature",

@@ -39,6 +39,18 @@ def test_keep_canonical(spark, docs):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
 
 
+def test_soft_dedup_weights(spark, docs):
+    from opentelemetry_collector_spark.operators.dedup import soft_dedup_weights
+
+    w = {r.doc_id: r for r in soft_dedup_weights(docs, "doc_id", "text").collect()}
+    assert len(w) == 5  # every copy keeps a row — nothing is dropped
+    assert w[1].cluster_size == 2 and w[2].cluster_size == 2
+    assert w[1].weight == pytest.approx(0.5) and w[2].weight == pytest.approx(0.5)
+    assert all(w[i].cluster_size == 1 and w[i].weight == 1.0 for i in (3, 4, 5))
+    # total weighted mass == hard-dedup survivor count (the SoftDeDup invariant)
+    assert sum(r.weight for r in w.values()) == pytest.approx(4.0)
+
+
 def test_minhash_identical_docs_identical_sigs(spark, docs):
     sigs = {r.id: r.sig for r in minhash_signatures(docs, "doc_id", "text", k=16).collect()}
     assert sigs[1] == sigs[2]
