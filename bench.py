@@ -111,6 +111,10 @@ HEADLINE = [
     "pack_efficiency_audit",
     "token_coverage_curve",
     "dedup_soft_weights",
+    "log_template_mining",
+    "log_error_burst",
+    "token_zipf_slope",
+    "token_hapax_rate",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

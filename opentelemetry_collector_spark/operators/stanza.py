@@ -126,3 +126,100 @@ def logdedup_interval(
         )
         .select(F.col("w.start").alias("ws"), *key_cols, "log_count", "first_observed", "last_observed")
     )
+
+
+# Default variable-masking rules for template mining, applied in order:
+# long hex runs (ids, digests) first so their digits don't fall through to
+# the numeric mask, then any digit run.
+TEMPLATE_MASKS: list[tuple[str, str]] = [
+    (r"[0-9a-f]{8,}", "<HEX>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+def template_mine(
+    df: DataFrame,
+    line_col: str,
+    masks: list[tuple[str, str]] | None = None,
+    agg_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Log-template mining, the masking core of Drain/Spell-style parsers
+    (He et al., ICWS 2017, public): collapse every log line to its template
+    by replacing variable fragments (numbers, hex ids) with typed
+    placeholders, then aggregate per template.  The full Drain tree exists
+    to discover UNKNOWN variable positions incrementally; on a batch engine
+    the config-driven mask chain covers the same telemetry surface as the
+    collector ecosystem's logstransform/parser pipelines while staying a
+    pure projection.
+
+    Scale shape: the mask chain compiles to one codegen projection of
+    chained ``regexp_replace`` (no UDF, no per-row Python); the aggregate
+    is map-side combinable, so the shuffle carries one row per distinct
+    template per map task — #templates is the log-schema size (thousands),
+    not the corpus size.  At 10^12 lines this is a scan plus a
+    vocabulary-sized exchange.
+
+    ``agg_cols`` adds caller aggregates (e.g. distinct users, first/last
+    seen) next to the default ``n_lines`` count.  Returns one row per
+    ``template``."""
+    tpl = F.col(line_col)
+    for pat, repl in masks if masks is not None else TEMPLATE_MASKS:
+        tpl = F.regexp_replace(tpl, pat, repl)
+    aggs = [F.count(F.lit(1)).alias("n_lines")]
+    for name, col in (agg_cols or {}).items():
+        aggs.append(col.alias(name))
+    return df.withColumn("template", tpl).groupBy("template").agg(*aggs)
+
+
+def burst_zscore(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    interval: str = "15 minutes",
+    trail: int = 8,
+    min_trail: int = 4,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Rate-anomaly (burst) detector over tumbling event-time windows: for
+    each (key, window) the record count is z-scored against the trailing
+    ``trail`` windows' sample mean/stddev; ``is_burst`` flags z above
+    ``z_thresh`` — the alerting shape behind log-volume anomaly detection
+    in collector-backed pipelines (error-spike paging).  Sparse semantics:
+    windows with zero records are absent, not zero-filled, so the baseline
+    is "recent non-empty windows" (documented; zero-filling needs a
+    calendar spine join, which callers can add).
+
+    Scale shape: the corpus reduces to one map-side-combinable
+    (window, key) count — the only corpus-sized shuffle; the trailing
+    window function then runs per key over #time-buckets rows (a year of
+    15-minute buckets is 35 k rows per key), trivially bounded.  Windows
+    with fewer than ``min_trail`` trailing observations, or zero trailing
+    variance, yield NULL z (never a divide — ANSI-safe).
+
+    Returns (ws, key, n, trail_mean, trail_sd, z, is_burst)."""
+    counts = (
+        df.groupBy(F.window(ts_col, interval).alias("w"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+    w = Window.partitionBy("key").orderBy("ws").rowsBetween(-trail, -1)
+    scored = counts.select(
+        "ws",
+        "key",
+        "n",
+        F.avg("n").over(w).alias("_mu"),
+        F.stddev_samp("n").over(w).alias("_sd"),
+        F.count(F.lit(1)).over(w).alias("_k"),
+    ).filter(F.col("_k") >= min_trail)
+    z = F.when(
+        F.col("_sd") > 0, (F.col("n") - F.col("_mu")) / F.col("_sd")
+    )
+    return scored.select(
+        "ws",
+        "key",
+        "n",
+        F.round("_mu", 6).alias("trail_mean"),
+        F.round("_sd", 6).alias("trail_sd"),
+        F.round(z, 6).alias("z"),
+        (z > z_thresh).alias("is_burst"),
+    )

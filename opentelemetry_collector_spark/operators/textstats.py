@@ -911,3 +911,74 @@ def pmi_topk(df, text_col: str, k: int = 50, min_count: int = 5):
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def zipf_slope_by_source(df, source_col: str = "source", text_col: str = "text"):
+    """Per-source Zipf fit: OLS slope of ln(frequency) on ln(rank) over the
+    source's whitespace-unigram vocabulary — the corpus-health audit that
+    flags a source whose token distribution is un-natural (templated spam
+    reads flat, slope → 0; boilerplate-dominated dumps read steep,
+    slope ≪ −1; natural language sits near −1, Zipf 1949 / Piantadosi 2014,
+    public).  Ranking ties break (count DESC, token ASC) so the fit is
+    deterministic across engines and reruns.
+
+    Scale shape: the corpus stream collapses to a map-side-combinable
+    (source, token) hash aggregate before anything else; the per-source
+    rank is a Window over THE VOCAB TABLE ONLY (Heaps-law bounded, does not
+    grow with corpus size — the same documented exception as
+    ``packing.token_coverage_curve``), and the fit itself is one hash
+    aggregate of covar/var moments, #sources output rows.  Nothing
+    corpus-sized ever shuffles twice.
+
+    Returns (source, n_types, n_toks, zipf_slope, zipf_intercept)."""
+    from pyspark.sql import Window
+
+    uni = (
+        df.select(F.col(source_col).alias("source"), F.explode(words(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = uni.select(
+        "source",
+        F.col("n"),
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    slope = F.covar_pop("ly", "lx") / F.var_pop("lx")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_toks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("ly") - slope * F.avg("lx"), 6).alias("zipf_intercept"),
+    )
+
+
+def hapax_stats_by_source(df, source_col: str = "source", text_col: str = "text"):
+    """Per-source hapax-legomena audit: the share of vocabulary types seen
+    exactly once (and twice — dis legomena), the classic vocabulary-tail
+    health check (Baayen, *Word Frequency Distributions* 2001, public): a
+    natural-text source runs ~40-60 % hapax; near-zero means templated /
+    deduplicated-to-death text, near-one means OCR noise or binary junk.
+    Feeds tokenizer sizing next to ``packing.token_coverage_curve``.
+
+    Scale shape: one explode → (source, token) map-side-combined count,
+    then one #vocab-row aggregate down to #sources rows.  The corpus
+    stream shuffles once, pre-reduced to distinct (source, token) pairs.
+
+    Returns (source, n_types, n_hapax, n_dis, hapax_rate, hapax_tok_share)."""
+    uni = (
+        df.select(F.col(source_col).alias("source"), F.explode(words(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("n_dis"),
+        F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias("hapax_rate"),
+        F.round(hapax.cast("double") / F.sum("n"), 6).alias("hapax_tok_share"),
+    )

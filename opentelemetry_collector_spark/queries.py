@@ -4380,6 +4380,143 @@ def route_ottl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "log_template_mining",
+    """
+    WITH lines AS (
+      SELECT event_id, user_id,
+             event_type || ' user=' || CAST(user_id AS VARCHAR) || ' ' || props
+               AS line
+      FROM events),
+    t AS (
+      SELECT event_id, user_id,
+             regexp_replace(regexp_replace(line, '[0-9a-f]{8,}', '<HEX>', 'g'),
+                            '[0-9]+', '<NUM>', 'g') AS template
+      FROM lines)
+    SELECT template, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM t GROUP BY template
+    """,
+)
+def log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-ext log-template mining (the masking core of Drain/Spell parsers,
+    He et al. ICWS 2017): every log line collapses to its template via a
+    chained regexp mask projection (hex ids, then digit runs — a pure-digit
+    run of 8+ masks as <HEX>, the standard miner quirk), then one map-side-
+    combinable per-template aggregate.  Shuffle carries #templates rows
+    (log-schema-sized), never the corpus."""
+    from .operators.stanza import template_mine
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.concat(
+            F.col("event_type"), F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" "), F.col("props"),
+        ),
+    )
+    return template_mine(
+        ev,
+        "line",
+        agg_cols={
+            "n_users": F.countDistinct("user_id"),
+            "first_event": F.min("event_id"),
+            "last_event": F.max("event_id"),
+        },
+    )
+
+
+@_q(
+    "log_error_burst",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws, event_type AS key,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT ws, key, n,
+             avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd,
+             count(*) OVER w AS k
+      FROM c
+      WINDOW w AS (PARTITION BY key ORDER BY ws
+                   ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+    SELECT ws, key, n, ROUND(mu, 6) AS trail_mean, ROUND(sd, 6) AS trail_sd,
+           ROUND(CASE WHEN sd > 0 THEN (n - mu) / sd END, 6) AS z,
+           CASE WHEN sd > 0 THEN (n - mu) / sd > 2.0 END AS is_burst
+    FROM s WHERE k >= 4
+    """,
+)
+def log_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext log-volume burst detector: per event_type 15-minute tumbling
+    counts z-scored against the trailing 8 windows (sample mean/stddev);
+    the alerting shape behind error-spike paging on a collector pipeline.
+    One corpus-sized map-side-combined count, then a per-key window over
+    #time-buckets rows only."""
+    from .operators.stanza import burst_zscore
+
+    return burst_zscore(
+        _t(spark, sf_dir, "events"), "ts", "event_type",
+        interval="15 minutes", trail=8, min_trail=4, z_thresh=2.0,
+    )
+
+
+@_q(
+    "token_zipf_slope",
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    uni AS (SELECT source, tok, count(*) AS n FROM tok WHERE tok <> ''
+            GROUP BY 1, 2),
+    r AS (SELECT source, n,
+                 ln(CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY n DESC, tok ASC) AS DOUBLE)) AS lx,
+                 ln(CAST(n AS DOUBLE)) AS ly
+          FROM uni)
+    SELECT source, count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_toks,
+           ROUND(regr_slope(ly, lx), 6) AS zipf_slope,
+           ROUND(regr_intercept(ly, lx), 6) AS zipf_intercept
+    FROM r GROUP BY source
+    """,
+)
+def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext per-source Zipf fit: OLS slope of ln(freq) on ln(rank) over
+    each source's unigram vocabulary — the corpus-health number that flags
+    templated spam (slope → 0) or boilerplate dumps (slope ≪ −1).  Corpus
+    reduces to a (source, token) hash aggregate; the rank window runs over
+    the Heaps-bounded vocab table only; the fit is one moments aggregate."""
+    from .operators.textstats import zipf_slope_by_source
+
+    return zipf_slope_by_source(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+@_q(
+    "token_hapax_rate",
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    uni AS (SELECT source, tok, count(*) AS n FROM tok WHERE tok <> ''
+            GROUP BY 1, 2)
+    SELECT source, count(*) AS n_types,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+           ROUND(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_rate,
+           ROUND(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(n), 6) AS hapax_tok_share
+    FROM uni GROUP BY source
+    """,
+)
+def token_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext per-source hapax-legomena audit (vocabulary-tail health,
+    Baayen 2001): share of types seen exactly once/twice — near-zero means
+    templated text, near-one means OCR/binary junk.  One explode →
+    map-side-combined (source, token) count, then a vocab-sized aggregate
+    down to #sources rows."""
+    from .operators.textstats import hapax_stats_by_source
+
+    return hapax_stats_by_source(_t(spark, sf_dir, "documents"), "source", "text")
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -4402,6 +4539,10 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "log_template_mining",
+    "log_error_burst",
+    "token_zipf_slope",
+    "token_hapax_rate",
     "dedup_soft_weights",
     "connector_servicegraph",
     "text_paragraph_dedup",

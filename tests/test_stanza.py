@@ -93,3 +93,56 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
     assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
     c = epoch_shuffle(df, "doc_id", seed=8)
     assert a.orderBy("doc_id").collect() != c.orderBy("doc_id").collect()
+
+
+def test_template_mine_masks_and_counts(spark):
+    from opentelemetry_collector_spark.operators.stanza import template_mine
+
+    rows = [
+        (1, 10, "GET /user/42 took 15ms"),
+        (2, 10, "GET /user/7 took 250ms"),
+        (3, 11, "GET /user/999 took 3ms"),
+        (4, 11, "session deadbeef00 expired"),
+        (5, 12, "session cafebabe1234 expired"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, line string")
+    out = {
+        r.template: r
+        for r in template_mine(
+            df, "line",
+            agg_cols={"n_users": F.countDistinct("user_id"),
+                      "first_event": F.min("event_id")},
+        ).collect()
+    }
+    assert out["GET /user/<NUM> took <NUM>ms"].n_lines == 3
+    assert out["GET /user/<NUM> took <NUM>ms"].n_users == 2
+    assert out["GET /user/<NUM> took <NUM>ms"].first_event == 1
+    # 8+ hex chars mask as <HEX>, not as two <NUM> fragments
+    assert out["session <HEX> expired"].n_lines == 2
+
+
+def test_burst_zscore_flags_spike(spark):
+    from datetime import datetime
+
+    from opentelemetry_collector_spark.operators.stanza import burst_zscore
+
+    # 9 windows of ~2 events, then a 12-event spike in window 10
+    rows = []
+    eid = 0
+    for w in range(9):
+        for i in range(2 + (w % 2)):  # 2,3,2,3,... baseline with variance
+            rows.append((eid, datetime(2025, 1, 1, w, 1 + i), "err"))
+            eid += 1
+    for i in range(12):
+        rows.append((eid, datetime(2025, 1, 1, 9, 1 + i), "err"))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string")
+    out = {r.ws.hour: r for r in burst_zscore(
+        df, "ts", "k", interval="1 hour", trail=8, min_trail=4, z_thresh=2.0
+    ).collect()}
+    # windows 0-3 lack min_trail history and are absent
+    assert min(out) == 4
+    assert out[9].n == 12 and out[9].is_burst
+    assert all(not out[h].is_burst for h in out if h != 9)
+    # trailing stats exclude the current window
+    assert 2.0 <= out[9].trail_mean <= 3.0

@@ -468,3 +468,35 @@ def test_pmi_topk_ranks_surprising_pairs(spark):
     exp = round(math.log2(5 * n_tok / (5 * 5)), 9)
     assert abs(byp[("hong", "kong")].pmi - exp) < 1e-9
     assert byp[("the", "cat")].pmi < byp[("hong", "kong")].pmi
+
+
+def test_zipf_slope_by_source(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.textstats import zipf_slope_by_source
+
+    # exact Zipf: freq(rank) = 48 / rank over 4 types -> slope exactly -1
+    doc = " ".join(["a"] * 48 + ["b"] * 24 + ["c"] * 16 + ["d"] * 12)
+    df = spark.createDataFrame([("s1", doc), ("s2", "x y")], "source string, text string")
+    out = {r.source: r for r in zipf_slope_by_source(df, "source", "text").collect()}
+    assert out["s1"].n_types == 4 and out["s1"].n_toks == 100
+    assert out["s1"].zipf_slope == pytest.approx(-1.0, abs=1e-6)
+    assert out["s1"].zipf_intercept == pytest.approx(__import__("math").log(48.0), abs=1e-6)
+    # uniform 2-type source: both freqs equal -> slope 0
+    assert out["s2"].zipf_slope == pytest.approx(0.0, abs=1e-9)
+
+
+def test_hapax_stats_by_source(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.textstats import hapax_stats_by_source
+
+    df = spark.createDataFrame(
+        [("s1", "a a a b b c d"), ("s2", "x x y y")], "source string, text string"
+    )
+    out = {r.source: r for r in hapax_stats_by_source(df, "source", "text").collect()}
+    assert out["s1"].n_types == 4
+    assert out["s1"].n_hapax == 2 and out["s1"].n_dis == 1
+    assert out["s1"].hapax_rate == pytest.approx(0.5)
+    assert out["s1"].hapax_tok_share == pytest.approx(2 / 7, abs=1e-6)
+    assert out["s2"].n_hapax == 0 and out["s2"].hapax_rate == 0.0
