@@ -115,6 +115,9 @@ HEADLINE = [
     "log_error_burst",
     "token_zipf_slope",
     "token_hapax_rate",
+    "funnel_conversion",
+    "cohort_retention",
+    "text_ngram_novelty",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

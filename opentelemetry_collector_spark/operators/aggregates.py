@@ -133,3 +133,107 @@ def approx_quantile_audit(
             .cast("bigint").alias(f"ok_p{tag}")
         )
     return df.groupBy(key).agg(*aggs)
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion over an event stream: a user reaches step
+    *i* when an event of ``steps[i]`` occurs at-or-after their earliest
+    completion of step *i−1* (ties allowed — same-timestamp events count).
+    The per-step reach counts and step-over-step conversion rates are the
+    product-analytics shape a telemetry pipeline feeds (signup → activate →
+    convert), and the per-edge analog of the servicegraph connector's
+    client→server pairing.
+
+    Scale shape: step 0 is one map-side-combinable conditional-min
+    aggregate; each later step is the event stream filtered to ONE type,
+    equi-joined on the uniform user key to the (user, t_prev) frame
+    (#reached-users rows, shrinking monotonically per step), then min-
+    aggregated again.  Per step: one filtered scan + one user-keyed shuffle
+    of pre-aggregated rows — no window over the raw stream, no skew (user
+    keys are uniform).  The final frame is #steps rows; the lag() for
+    conversion rates runs on that scalar-sized frame only.
+
+    Returns (step_idx, step, n_users, conv_from_prev)."""
+    reached = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = [
+        reached.agg(
+            F.lit(0).cast("bigint").alias("step_idx"),
+            F.lit(steps[0]).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], 1):
+        ev = df.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        reached = (
+            ev.join(reached, "_u")
+            .filter(F.col("_ts") >= F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_t"))
+        )
+        counts.append(
+            reached.agg(
+                F.lit(i).cast("bigint").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("step_idx")  # #steps rows — bounded by config
+    return out.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.lag("n_users").over(w), 6
+        ).alias("conv_from_prev"),
+    )
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the epoch-week
+    of their first event (floor(epoch_seconds / 604800) — calendar-agnostic,
+    so every engine agrees on boundaries without week-anchor conventions),
+    and each (cohort, week_offset) cell counts users from that cohort active
+    that week, with retention relative to the cohort's week-0 size.
+
+    Scale shape: two map-side-combinable aggregates over the stream (first-
+    week per user; distinct (user, week) pairs), one equi-join on the
+    uniform user key, then a (cohort, offset) hash aggregate — cells =
+    #cohorts × #weeks, tiny.  The week-0 denominator is a window over that
+    cell table only.
+
+    Returns (cohort_week, week_offset, n_active, retention)."""
+    wk = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+        / F.lit(604_800_000_000)
+    )
+    ev = df.select(F.col(user_col).alias("_u"), wk.alias("_wk")).distinct()
+    first = ev.groupBy("_u").agg(F.min("_wk").alias("cohort_week"))
+    cells = (
+        ev.join(first, "_u")
+        .groupBy("cohort_week", (F.col("_wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active").cast("double") / F.first("n_active").over(w), 6
+        ).alias("retention"),
+    )

@@ -982,3 +982,39 @@ def hapax_stats_by_source(df, source_col: str = "source", text_col: str = "text"
         F.round(hapax.cast("double") / F.count(F.lit(1)), 6).alias("hapax_rate"),
         F.round(hapax.cast("double") / F.sum("n"), 6).alias("hapax_tok_share"),
     )
+
+
+def ngram_novelty_by_source(
+    df, id_col: str, text_col: str, source_col: str = "source", n: int = 3
+):
+    """Per-source n-gram novelty (the memorization/diversity audit run on
+    pretraining mixes, cf. the novel-n-gram curves in Muennighoff et al.
+    2023 "Scaling Data-Constrained LMs", public): attribute every distinct
+    corpus shingle to its FIRST document (min doc id — deterministic,
+    engine-portable), then report per source how much of its shingle mass
+    is first-seen-here vs repeated from elsewhere.  A source whose novelty
+    collapses is re-crawled / duplicated content; one near 1.0 carries the
+    mix's diversity.
+
+    Scale shape: identical frames to ``boilerplate_ratio`` — the (doc,
+    shingle) explode is reduced to distinct pairs, the first-owner table is
+    a map-side-combinable min aggregate, and the re-join shuffles shingle-
+    keyed pre-aggregated rows (zipf-skewed keys ride AQE skew-join, the
+    same accepted shape).  Everything after is #sources rows.
+
+    Returns (source, n_docs, n_shingle_occ, n_novel, novelty_rate)."""
+    from .dedup import shingle_hashes
+
+    sh = shingle_hashes(
+        df.select(F.col(id_col), F.col(text_col)), id_col, text_col, n=n, mode="raw"
+    ).distinct()
+    first = sh.groupBy("h").agg(F.min("id").alias("_first"))
+    src = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+    joined = sh.join(first, "h").join(src, "id")
+    novel = F.sum(F.when(F.col("id") == F.col("_first"), 1).otherwise(0))
+    return joined.groupBy("source").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_shingle_occ"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty_rate"),
+    )

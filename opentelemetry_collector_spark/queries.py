@@ -4517,6 +4517,102 @@ def token_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hapax_stats_by_source(_t(spark, sf_dir, "documents"), "source", "text")
 
 
+@_q(
+    "funnel_conversion",
+    """
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY 1),
+    n AS (SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                 CAST(count(*) AS BIGINT) AS n_users FROM s0
+          UNION ALL SELECT 1, 'click', count(*) FROM s1
+          UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+    SELECT step_idx, step, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / lag(n_users) OVER (ORDER BY step_idx), 6) AS conv_from_prev
+    FROM n
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext ordered-funnel conversion (view → click → purchase): a user
+    reaches step i when a step-i event occurs at-or-after their earliest
+    step-(i−1) completion.  Per step: one filtered scan + one uniform
+    user-keyed join/min-aggregate; conversion lag() runs on the #steps-row
+    result only."""
+    from .operators.aggregates import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+@_q(
+    "cohort_retention",
+    """
+    WITH ev AS (SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+                FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1),
+    c AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+    SELECT cohort_week, week_offset, n_active,
+           ROUND(CAST(n_active AS DOUBLE) / first_value(n_active)
+                 OVER (PARTITION BY cohort_week ORDER BY week_offset), 6)
+             AS retention
+    FROM c
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext weekly cohort retention: cohort = epoch-week of first event
+    (floor(epoch/604800) — calendar-agnostic, engines agree on boundaries
+    without week-anchor conventions); cells count cohort users active per
+    offset week, normalized to the cohort's week-0 size.  Two combinable
+    aggregates + one uniform user-keyed join; the denominator window runs
+    over the #cohorts×#weeks cell table only."""
+    from .operators.aggregates import cohort_retention as _cohort
+
+    return _cohort(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@_q(
+    "text_ngram_novelty",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+               || ' ' || string_split(text, ' ')[i+2])) AS h
+      FROM documents),
+    f AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY h)
+    SELECT d.source, CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_shingle_occ,
+           CAST(sum(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(sum(CASE WHEN s.doc_id = f.first_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+    FROM sh s JOIN f USING (h) JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.source
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext per-source 3-gram novelty (memorization/diversity audit,
+    cf. Muennighoff 2023 data-constrained scaling): every distinct corpus
+    shingle is attributed to its first (min doc_id) document; a source's
+    novelty is the share of its shingle set first seen there.  Same staged
+    frames as text_boilerplate_ratio — distinct (doc, shingle) pairs, a
+    combinable min-owner aggregate, one shingle-keyed re-join under AQE."""
+    from .operators.textstats import ngram_novelty_by_source
+
+    return ngram_novelty_by_source(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source", n=3
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -4539,6 +4635,9 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "funnel_conversion",
+    "cohort_retention",
+    "text_ngram_novelty",
     "log_template_mining",
     "log_error_burst",
     "token_zipf_slope",

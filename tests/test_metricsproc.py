@@ -279,3 +279,55 @@ def test_service_graph_matches_lag_reference(spark):
     assert {(r.client, r.server): r.calls for r in got} == {
         (r.client, r.server): r["count"] for r in ref
     }
+
+
+def test_funnel_steps_ordering_enforced(spark):
+    from datetime import datetime
+
+    from opentelemetry_collector_spark.operators.aggregates import funnel_steps
+
+    T = lambda m: datetime(2025, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes the full ordered funnel
+        (1, T(0), "view"), (1, T(1), "click"), (1, T(2), "purchase"),
+        # u2 clicks BEFORE viewing -> that click must not count; no later click
+        (2, T(0), "click"), (2, T(1), "view"), (2, T(2), "purchase"),
+        # u3 views only
+        (3, T(0), "view"),
+        # u4 same-timestamp view+click (ties count), no purchase
+        (4, T(0), "view"), (4, T(0), "click"),
+        # u5 never views -> not even step 0
+        (5, T(0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step: r for r in funnel_steps(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out["view"].n_users == 4
+    assert out["click"].n_users == 2          # u1 and u4 only
+    assert out["purchase"].n_users == 1       # u1 only
+    assert out["view"].conv_from_prev is None
+    assert out["click"].conv_from_prev == 0.5
+    assert out["purchase"].conv_from_prev == 0.5
+
+
+def test_cohort_retention_offsets_and_rates(spark):
+    from datetime import datetime, timedelta
+
+    from opentelemetry_collector_spark.operators.aggregates import cohort_retention
+
+    base = datetime(2025, 1, 2)  # epoch-week boundary-agnostic
+    rows = []
+    # cohort A: users 1,2 first active week 0; user 1 returns week 1 and 3
+    for u, wk_offsets in ((1, [0, 1, 3]), (2, [0]), (3, [1, 2])):
+        for w in wk_offsets:
+            rows.append((u, base + timedelta(weeks=w)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(df, "user_id", "ts").collect()
+    cohorts = sorted({r.cohort_week for r in out})
+    a, b = cohorts[0], cohorts[1]
+    cells = {(r.cohort_week, r.week_offset): r for r in out}
+    assert cells[(a, 0)].n_active == 2 and cells[(a, 0)].retention == 1.0
+    assert cells[(a, 1)].n_active == 1 and cells[(a, 1)].retention == 0.5
+    assert (a, 2) not in cells and cells[(a, 3)].n_active == 1
+    assert cells[(b, 0)].n_active == 1 and cells[(b, 1)].n_active == 1

@@ -500,3 +500,21 @@ def test_hapax_stats_by_source(spark):
     assert out["s1"].hapax_rate == pytest.approx(0.5)
     assert out["s1"].hapax_tok_share == pytest.approx(2 / 7, abs=1e-6)
     assert out["s2"].n_hapax == 0 and out["s2"].hapax_rate == 0.0
+
+
+def test_ngram_novelty_by_source(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.textstats import ngram_novelty_by_source
+
+    rows = [
+        (1, "a b c d", "s1"),    # shingles: "a b c", "b c d" — both novel
+        (2, "a b c e", "s2"),    # "a b c" seen in doc 1; "b c e" novel
+        (3, "x y", "s2"),        # too short: no shingles, excluded from n_docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in ngram_novelty_by_source(df, "doc_id", "text", "source").collect()}
+    assert out["s1"].n_docs == 1 and out["s1"].n_shingle_occ == 2
+    assert out["s1"].n_novel == 2 and out["s1"].novelty_rate == 1.0
+    assert out["s2"].n_docs == 1 and out["s2"].n_shingle_occ == 2
+    assert out["s2"].n_novel == 1 and out["s2"].novelty_rate == pytest.approx(0.5)
