@@ -184,6 +184,7 @@ _NESTED_LOOP_OK = {
     "text_unigram_logprob_hashed",  # same 1-row dense-array + total broadcast
     "text_bm25_topk",         # (N, avgdl) corpus scalars: 1-row broadcast into hit stream
     "token_kl_by_source",     # grand-total scalar: 1-row broadcast into vocab-sized frame
+    "token_pmi_topk",         # bigram-total scalar: 1-row broadcast into vocab-sized frame
 }
 
 
