@@ -202,6 +202,22 @@ def burst_zscore(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "key", "n")
     )
+    return burst_scores_from_counts(counts, trail, min_trail, z_thresh)
+
+
+def burst_scores_from_counts(
+    counts: DataFrame,
+    trail: int = 8,
+    min_trail: int = 4,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Scoring stage of :func:`burst_zscore` over a pre-aggregated
+    ``(ws, key, n)`` counts frame — split out so the STREAMING path can
+    share it: structured streaming produces the finalized counts (windowed
+    agg + watermark, append mode), and this bounded #time-buckets-sized
+    stage scores whatever counts table has accumulated.  Batch and stream
+    therefore agree row-for-row on every finalized window (pytest-asserted
+    in tests/test_streaming.py)."""
     w = Window.partitionBy("key").orderBy("ws").rowsBetween(-trail, -1)
     scored = counts.select(
         "ws",
@@ -222,4 +238,24 @@ def burst_zscore(
         F.round("_sd", 6).alias("trail_sd"),
         F.round(z, 6).alias("z"),
         (z > z_thresh).alias("is_burst"),
+    )
+
+
+def streaming_window_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    interval: str = "15 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Streaming half of the burst detector: tumbling per-key counts with
+    an event-time watermark, emitted in APPEND mode — each (ws, key, n) row
+    is final when the watermark passes its window, exactly the incremental
+    feed :func:`burst_scores_from_counts` scores.  State is one count per
+    open (window, key) — bounded by watermark horizon × key cardinality."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, interval).alias("w"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
     )

@@ -652,3 +652,59 @@ pipeline:
         for r in batch.select("doc_id", "source", "resource_id").collect()
     )
     assert got == want
+
+
+def test_streaming_burst_counts_match_batch_scores(spark, tmp_path):
+    """Streaming parity for the burst detector: the watermarked windowed
+    counts stream (append mode) feeds the shared scoring stage, and every
+    finalized row equals the batch burst_zscore row for the same window."""
+    from datetime import datetime
+
+    from opentelemetry_collector_spark.operators.stanza import (
+        burst_scores_from_counts,
+        burst_zscore,
+        streaming_window_counts,
+    )
+
+    d = str(tmp_path / "burst_in")
+    # two files so the second batch advances the watermark past early windows
+    for part, hours in ((0, range(0, 6)), (1, range(6, 12))):
+        rows = []
+        for h in hours:
+            n = (3 + h % 2) if h != 9 else 20  # 3/4 baseline, spike in hour 9
+            for i in range(n):
+                rows.append((f"e{h}_{i}", datetime(2024, 1, 1, h, 1 + i), "err"))
+        spark.createDataFrame(rows, "event_id string, ts timestamp, k string") \
+            .coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("event_id string, ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    counts = streaming_window_counts(stream, "ts", "k", interval="1 hour", watermark="1 hour")
+    q = (
+        counts.writeStream.format("memory").queryName("burst_counts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    finalized = spark.sql("SELECT * FROM burst_counts")
+    assert finalized.count() > 0
+    got = {
+        (r.ws.isoformat(), r.key): (r.n, r.trail_mean, r.z, r.is_burst)
+        for r in burst_scores_from_counts(finalized, trail=4, min_trail=3).collect()
+    }
+    assert got  # enough finalized windows to clear min_trail
+    batch = burst_zscore(
+        spark.read.parquet(d), "ts", "k",
+        interval="1 hour", trail=4, min_trail=3,
+    )
+    want = {
+        (r.ws.isoformat(), r.key): (r.n, r.trail_mean, r.z, r.is_burst)
+        for r in batch.collect()
+    }
+    for k, v in got.items():
+        assert want[k] == v
+    # the spike hour must be flagged once its window finalizes
+    spike = [k for k, v in got.items() if v[3]]
+    assert spike == [("2024-01-01T09:00:00", "err")] or not any(
+        k[0] == "2024-01-01T09:00:00" for k in got
+    )
