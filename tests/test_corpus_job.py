@@ -126,3 +126,23 @@ def test_build_with_temperature_alpha(spark):
     assert len({r.doc_id for r in kept}) == len(kept)
     with pytest.raises(ValueError, match="exclusive"):
         build(spark, corpus, bench, mixture={"src0": 1.0}, temperature_alpha=0.5)
+
+
+def test_log_insights_job_cli_writes_artifacts(tmp_path):
+    """log_insights_job end-to-end through the CLI path: all five insight
+    artifacts + manifest.json land, with sane row counts."""
+    out = tmp_path / "log_out"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/log_insights_job.py",
+         "--input", f"{SF}/events.parquet", "--output", str(out),
+         "--interval", "15 minutes", "--trail", "4"],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["outputs"]["funnel"] == 3
+    assert manifest["outputs"]["templates"] >= 1
+    assert manifest["outputs"]["cohorts"] >= 1
+    assert manifest["outputs"]["dedup"] > 0
+    assert set(manifest["outputs"]) == {"templates", "dedup", "bursts", "funnel", "cohorts"}
