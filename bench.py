@@ -118,6 +118,8 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "text_ngram_novelty",
+    "events_anomaly_mad",
+    "token_compression_ratio",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -237,3 +237,43 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
             F.col("n_active").cast("double") / F.first("n_active").over(w), 6
         ).alias("retention"),
     )
+
+
+def mad_outlier_audit(
+    df: DataFrame, key: str, value_col: str, k_sigma: float = 3.0
+) -> DataFrame:
+    """Robust outlier audit per *key*: median / MAD (median absolute
+    deviation, consistency constant 1.4826) and the count of values beyond
+    ``k_sigma`` robust sigmas — the heavy-tail-safe complement to the
+    z-score burst detector (a mean/stddev scorer is dragged by the very
+    outliers it should flag; the median/MAD pair is 50 %-breakdown robust).
+
+    Plan: three passes over the column — median per key, deviation vs a
+    broadcast #keys-row median table, MAD per key, then the outlier count
+    against a second broadcast — all hash aggregates and broadcast joins;
+    nothing wider than (key, value) ever shuffles.  The medians are EXACT
+    interpolated percentiles so the DuckDB oracle reproduces them
+    bit-for-bit; exact percentile buffers each group's values on one task,
+    so a 100 TB run swaps in ``percentile_approx`` exactly as
+    ``approx_quantile_audit`` demonstrates (same API, sketch-mergeable) —
+    the audit that validates that swap is that operator's job.
+
+    Returns (key, n, med, mad, n_outliers, outlier_rate)."""
+    med = df.groupBy(key).agg(F.percentile(value_col, F.lit(0.5)).alias("_med"))
+    dev = df.join(F.broadcast(med), key).select(
+        key, "_med", F.abs(F.col(value_col) - F.col("_med")).alias("_dev")
+    )
+    mad = dev.groupBy(key).agg(F.percentile("_dev", F.lit(0.5)).alias("_mad"))
+    thr = F.lit(k_sigma) * F.lit(1.4826) * F.col("_mad")
+    out = F.sum(F.when(F.col("_dev") > thr, 1).otherwise(0))
+    return (
+        dev.join(F.broadcast(mad), key)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("_med"), 6).alias("med"),
+            F.round(F.min("_mad"), 6).alias("mad"),
+            out.alias("n_outliers"),
+            F.round(out.cast("double") / F.count(F.lit(1)), 6).alias("outlier_rate"),
+        )
+    )

@@ -1018,3 +1018,33 @@ def ngram_novelty_by_source(
         novel.alias("n_novel"),
         F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty_rate"),
     )
+
+
+def compression_ratio_by_source(df, source_col: str = "source", text_col: str = "text"):
+    """Per-source tokenizer-compression audit: characters per whitespace
+    token and per BPE-ish token (the ``\\w+|[^\\w\\s]`` piece regex) — the
+    fertility number a tokenizer rollout watches per source/language (a
+    source whose chars-per-token collapses is code/binary junk; one that
+    balloons is unsegmented text the tokenizer will shred into bytes).
+
+    One narrow codegen projection (length + two token counts per row, no
+    explode) feeding a map-side-combinable per-source aggregate — the
+    cheapest possible full-corpus pass.
+
+    Returns (source, n_docs, n_chars, n_ws_tok, n_bpe_tok,
+    chars_per_ws_tok, chars_per_bpe_tok, bpe_per_ws)."""
+    per = df.select(
+        F.col(source_col).alias("source"),
+        F.length(text_col).alias("_c"),
+        token_count(F.col(text_col)).cast("long").alias("_w"),
+        bpe_token_count(F.col(text_col)).cast("long").alias("_b"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_c").alias("n_chars"),
+        F.sum("_w").alias("n_ws_tok"),
+        F.sum("_b").alias("n_bpe_tok"),
+        F.round(F.sum("_c").cast("double") / F.sum("_w"), 6).alias("chars_per_ws_tok"),
+        F.round(F.sum("_c").cast("double") / F.sum("_b"), 6).alias("chars_per_bpe_tok"),
+        F.round(F.sum("_b").cast("double") / F.sum("_w"), 6).alias("bpe_per_ws"),
+    )

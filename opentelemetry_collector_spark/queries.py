@@ -4613,6 +4613,63 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_anomaly_mad",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(d.med), 6) AS med, ROUND(min(a.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(sum(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
+    FROM dev d JOIN mad a USING (event_type) GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext robust (median/MAD) outlier audit per event_type — the
+    heavy-tail-safe complement to log_error_burst's mean/stddev z-score.
+    Exact interpolated medians (oracle-reproducible); broadcast #keys-row
+    median/MAD tables; at 100 TB swap percentile→percentile_approx per the
+    agg_approx_quantile_audit pattern."""
+    from .operators.aggregates import mad_outlier_audit
+
+    return mad_outlier_audit(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+@_q(
+    "token_compression_ratio",
+    r"""
+    WITH per AS (
+      SELECT source, len(text) AS c,
+             len(string_split(text, ' ')) AS w,
+             len(regexp_extract_all(text, '\w+|[^\w\s]')) AS b
+      FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(sum(w) AS BIGINT) AS n_ws_tok,
+           CAST(sum(b) AS BIGINT) AS n_bpe_tok,
+           ROUND(sum(c) / CAST(sum(w) AS DOUBLE), 6) AS chars_per_ws_tok,
+           ROUND(sum(c) / CAST(sum(b) AS DOUBLE), 6) AS chars_per_bpe_tok,
+           ROUND(sum(b) / CAST(sum(w) AS DOUBLE), 6) AS bpe_per_ws
+    FROM per GROUP BY source
+    """,
+)
+def token_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext per-source tokenizer-compression (fertility) audit: chars
+    per whitespace token and per BPE-ish piece — the per-source health
+    number watched when freezing a tokenizer.  One narrow codegen
+    projection, no explode, one combinable aggregate."""
+    from .operators.textstats import compression_ratio_by_source
+
+    return compression_ratio_by_source(_t(spark, sf_dir, "documents"), "source", "text")
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -4635,6 +4692,8 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "events_anomaly_mad",
+    "token_compression_ratio",
     "funnel_conversion",
     "cohort_retention",
     "text_ngram_novelty",

@@ -331,3 +331,17 @@ def test_cohort_retention_offsets_and_rates(spark):
     assert cells[(a, 1)].n_active == 1 and cells[(a, 1)].retention == 0.5
     assert (a, 2) not in cells and cells[(a, 3)].n_active == 1
     assert cells[(b, 0)].n_active == 1 and cells[(b, 1)].n_active == 1
+
+
+def test_mad_outlier_audit_robust_to_spike(spark):
+    from opentelemetry_collector_spark.operators.aggregates import mad_outlier_audit
+
+    # 99 values near 10 (alternating 9/11 -> med 10, mad 1) + one 1000 spike
+    rows = [("a", float(9 + 2 * (i % 2))) for i in range(99)] + [("a", 1000.0)]
+    rows += [("b", float(i)) for i in range(1, 12)]  # clean 1..11: no outliers
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = {r.k: r for r in mad_outlier_audit(df, "k", "value").collect()}
+    assert out["a"].med == 10.0 and out["a"].mad == 1.0
+    assert out["a"].n_outliers == 1 and out["a"].outlier_rate == 0.01
+    assert out["b"].med == 6.0 and out["b"].mad == 3.0
+    assert out["b"].n_outliers == 0

@@ -518,3 +518,23 @@ def test_ngram_novelty_by_source(spark):
     assert out["s1"].n_novel == 2 and out["s1"].novelty_rate == 1.0
     assert out["s2"].n_docs == 1 and out["s2"].n_shingle_occ == 2
     assert out["s2"].n_novel == 1 and out["s2"].novelty_rate == pytest.approx(0.5)
+
+
+def test_compression_ratio_by_source(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        compression_ratio_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "hi, world!"), ("s1", "a b"), ("s2", "xyz")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in compression_ratio_by_source(df, "source", "text").collect()}
+    # "hi, world!": 2 ws tokens, 4 bpe pieces (hi , world !); "a b": 2 and 2
+    assert out["s1"].n_docs == 2 and out["s1"].n_chars == 13
+    assert out["s1"].n_ws_tok == 4 and out["s1"].n_bpe_tok == 6
+    assert out["s1"].chars_per_ws_tok == pytest.approx(13 / 4)
+    assert out["s1"].bpe_per_ws == pytest.approx(1.5)
+    assert out["s2"].n_ws_tok == 1 and out["s2"].n_bpe_tok == 1
