@@ -120,6 +120,8 @@ HEADLINE = [
     "text_ngram_novelty",
     "events_anomaly_mad",
     "token_compression_ratio",
+    "event_transition_matrix",
+    "token_bigram_entropy",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -277,3 +277,31 @@ def mad_outlier_audit(
             F.round(out.cast("double") / F.count(F.lit(1)), 6).alias("outlier_rate"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame, user_col: str, ts_col: str, type_col: str, tiebreak: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and row-normalized probabilities of (previous type → current
+    type) — the event-stream analog of a token bigram LM, the prior behind
+    next-event prediction and the funnel's unordered complement.
+
+    Scale shape: the lag runs per user (uniform key; a user's events sort
+    within one task — the same accepted window as the servicegraph
+    parent pairing); the counts aggregate is map-side combinable down to
+    #types² rows, and the row normalization joins two #types-sized frames.
+
+    Returns (prev, cur, n, p)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    pairs = df.select(
+        F.lag(type_col).over(w).alias("prev"), F.col(type_col).alias("cur")
+    ).filter(F.col("prev").isNotNull())
+    counts = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("prev").agg(F.sum("n").alias("_tot"))
+    return counts.join(F.broadcast(totals), "prev").select(
+        "prev",
+        "cur",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("p"),
+    )

@@ -1048,3 +1048,92 @@ def compression_ratio_by_source(df, source_col: str = "source", text_col: str = 
         F.round(F.sum("_c").cast("double") / F.sum("_b"), 6).alias("chars_per_bpe_tok"),
         F.round(F.sum("_b").cast("double") / F.sum("_w"), 6).alias("bpe_per_ws"),
     )
+
+
+def bigram_entropy_by_source(df, source_col: str = "source", text_col: str = "text"):
+    """Per-source sequencing-health entropies over whitespace bigrams:
+    unigram entropy H(w) and conditional bigram entropy H(w2|w1) =
+    −Σ p(w1,w2)·log2(c(w1,w2)/c(w1·)) — the pair a corpus audit reads
+    together (H(w) flags vocabulary collapse; H(w2|w1) ≈ H(w) means
+    word-salad with no sequential structure, H(w2|w1) ≈ 0 means templated
+    text; natural language sits well between).  The left marginal c(w1·)
+    comes from the bigram table itself, so the estimate is self-consistent.
+
+    Scale shape: one staged-array explode per document feeding a map-side-
+    combinable (source, w1, w2) count; every later frame is vocab²-sized or
+    smaller (marginals, per-source totals), re-joined on vocabulary keys
+    under AQE skew-join like the LM-score operators.  Entropy terms are
+    ratios of exact integer counts; the 6-decimal round absorbs summation
+    order.
+
+    Returns (source, n_tok, n_bigrams, n_distinct_bigrams, h_unigram,
+    h_bigram_cond)."""
+    staged = df.select(
+        F.col(source_col).alias("source"), words(F.col(text_col)).alias("_w")
+    )
+    w = F.col("_w")
+    uni = (
+        staged.select("source", F.explode(w).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    n_tok = uni.groupBy("source").agg(F.sum("c1").alias("nt"))
+    h_uni = (
+        uni.join(n_tok, "source")
+        .groupBy("source")
+        .agg(
+            (-F.sum(
+                (F.col("c1") / F.col("nt"))
+                * F.log2(F.col("c1").cast("double") / F.col("nt"))
+            )).alias("h_unigram"),
+        )
+    )
+    bi = (
+        staged.filter(F.size(w) >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.struct(
+                        F.element_at(w, (i + 1).cast("int")).alias("w1"),
+                        F.element_at(w, (i + 2).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist()
+    )
+    left = bi.groupBy("source", "w1").agg(F.sum("c2").alias("cl"))
+    per_src = bi.groupBy("source").agg(
+        F.sum("c2").alias("nb"), F.count(F.lit(1)).alias("ndb")
+    )
+    h_bi = (
+        bi.join(left, ["source", "w1"])
+        .join(per_src, "source")
+        .groupBy("source")
+        .agg(
+            F.min("nb").alias("n_bigrams"),
+            F.min("ndb").alias("n_distinct_bigrams"),
+            (-F.sum(
+                (F.col("c2") / F.col("nb"))
+                * F.log2(F.col("c2").cast("double") / F.col("cl"))
+            )).alias("h_bigram_cond"),
+        )
+    )
+    return (
+        n_tok.join(h_uni, "source")
+        .join(h_bi, "source")
+        .select(
+            "source",
+            F.col("nt").alias("n_tok"),
+            "n_bigrams",
+            "n_distinct_bigrams",
+            F.round("h_unigram", 6).alias("h_unigram"),
+            F.round("h_bigram_cond", 6).alias("h_bigram_cond"),
+        )
+    )

@@ -4670,6 +4670,78 @@ def token_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio_by_source(_t(spark, sf_dir, "documents"), "source", "text")
 
 
+@_q(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type AS cur,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    c AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n FROM s
+          WHERE prev IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev, c.cur, c.n,
+           ROUND(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+    FROM c JOIN t USING (prev)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext first-order Markov transition matrix over per-user event
+    sequences — the event-stream analog of a token bigram LM (counts +
+    row-normalized probabilities per previous type).  Per-user lag window
+    (uniform key, same shape as the servicegraph pairing), then a #types²
+    combinable aggregate and a broadcast row normalization."""
+    from .operators.aggregates import transition_matrix
+
+    return transition_matrix(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@_q(
+    "token_bigram_entropy",
+    """
+    WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT source, unnest(w) AS tok FROM t),
+    uni AS (SELECT source, tok, count(*) AS c1 FROM tok GROUP BY 1, 2),
+    nt AS (SELECT source, CAST(sum(c1) AS BIGINT) AS n_tok FROM uni GROUP BY 1),
+    hu AS (SELECT u.source,
+                  -sum((u.c1 / CAST(nt.n_tok AS DOUBLE))
+                       * log2(u.c1 / CAST(nt.n_tok AS DOUBLE))) AS h_unigram
+           FROM uni u JOIN nt USING (source) GROUP BY u.source),
+    bg AS (SELECT source, unnest(list_transform(range(1, len(w)),
+                  i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+           FROM t WHERE len(w) >= 2),
+    bi AS (SELECT source, p.w1 AS w1, p.w2 AS w2, count(*) AS c2
+           FROM bg GROUP BY 1, 2, 3),
+    lft AS (SELECT source, w1, sum(c2) AS cl FROM bi GROUP BY 1, 2),
+    ps AS (SELECT source, CAST(sum(c2) AS BIGINT) AS n_bigrams,
+                  CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+           FROM bi GROUP BY 1),
+    hb AS (SELECT b.source,
+                  -sum((b.c2 / CAST(ps.n_bigrams AS DOUBLE))
+                       * log2(b.c2 / CAST(l.cl AS DOUBLE))) AS h_bigram_cond
+           FROM bi b JOIN lft l ON l.source = b.source AND l.w1 = b.w1
+           JOIN ps ON ps.source = b.source
+           GROUP BY b.source)
+    SELECT nt.source, nt.n_tok, ps.n_bigrams, ps.n_distinct_bigrams,
+           ROUND(hu.h_unigram, 6) AS h_unigram,
+           ROUND(hb.h_bigram_cond, 6) AS h_bigram_cond
+    FROM nt JOIN hu USING (source) JOIN ps USING (source) JOIN hb USING (source)
+    """,
+)
+def token_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext per-source unigram + conditional-bigram entropies — the
+    sequencing-health pair (H(w2|w1) ≈ H(w) is word salad, ≈ 0 is template
+    loops; natural text sits between).  One explode to a combinable
+    (source, w1, w2) count; everything after is vocab²-sized, AQE-covered
+    vocabulary-keyed joins; exact-integer ratios under a 6-decimal round."""
+    from .operators.textstats import bigram_entropy_by_source
+
+    return bigram_entropy_by_source(_t(spark, sf_dir, "documents"), "source", "text")
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -4692,6 +4764,8 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "event_transition_matrix",
+    "token_bigram_entropy",
     "events_anomaly_mad",
     "token_compression_ratio",
     "funnel_conversion",

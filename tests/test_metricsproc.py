@@ -345,3 +345,24 @@ def test_mad_outlier_audit_robust_to_spike(spark):
     assert out["a"].n_outliers == 1 and out["a"].outlier_rate == 0.01
     assert out["b"].med == 6.0 and out["b"].mad == 3.0
     assert out["b"].n_outliers == 0
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime
+
+    from opentelemetry_collector_spark.operators.aggregates import transition_matrix
+
+    T = lambda m: datetime(2025, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, 1, T(0), "a"), (1, 2, T(1), "b"), (1, 3, T(2), "a"),
+        (2, 4, T(0), "a"), (2, 5, T(1), "b"), (2, 6, T(2), "b"),
+        (3, 7, T(0), "c"),  # single event: no transitions
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = {(r.prev, r.cur): r for r in transition_matrix(
+        df, "user_id", "ts", "event_type", "event_id"
+    ).collect()}
+    assert out[("a", "b")].n == 2 and out[("a", "b")].p == 1.0
+    assert out[("b", "a")].n == 1 and out[("b", "a")].p == 0.5
+    assert out[("b", "b")].n == 1 and out[("b", "b")].p == 0.5
+    assert ("c", "c") not in out and len(out) == 3

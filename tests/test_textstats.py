@@ -538,3 +538,30 @@ def test_compression_ratio_by_source(spark):
     assert out["s1"].chars_per_ws_tok == pytest.approx(13 / 4)
     assert out["s1"].bpe_per_ws == pytest.approx(1.5)
     assert out["s2"].n_ws_tok == 1 and out["s2"].n_bpe_tok == 1
+
+
+def test_bigram_entropy_by_source(spark):
+    import math
+
+    import pytest
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        bigram_entropy_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("loop", "a b a b a b a b a"),   # deterministic alternation
+            ("flat", "x y z w"),             # all bigrams unique
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in bigram_entropy_by_source(df, "source", "text").collect()}
+    # alternating text: every transition is forced -> conditional entropy 0
+    assert out["loop"].n_bigrams == 8 and out["loop"].h_bigram_cond == 0.0
+    assert out["loop"].h_unigram == pytest.approx(
+        -(5 / 9) * math.log2(5 / 9) - (4 / 9) * math.log2(4 / 9), abs=1e-6
+    )
+    # unique bigrams with unique left contexts: also fully determined
+    assert out["flat"].n_distinct_bigrams == 3 and out["flat"].h_bigram_cond == 0.0
+    assert out["flat"].h_unigram == pytest.approx(2.0)
