@@ -122,6 +122,7 @@ HEADLINE = [
     "token_compression_ratio",
     "event_transition_matrix",
     "token_bigram_entropy",
+    "embedding_label_dispersion",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

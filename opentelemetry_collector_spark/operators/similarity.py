@@ -703,3 +703,46 @@ def semantic_dedup_keep(
     return v.join(drops, "id", "left_anti").select(
         F.col("id").alias(id_col), F.col("cell").cast("int").alias("cell")
     )
+
+
+def label_dispersion(df: DataFrame, id_col: str, vec_col: str, label_col: str) -> DataFrame:
+    """Embedding-space cluster-quality audit per label: centroid norm and
+    the distribution of member-to-centroid cosines — the diagnostic read
+    before trusting labels/clusters for SemDeDup-style pruning or IVF cell
+    sizing (a label whose avg cosine collapses is incoherent; min-cos
+    exposes mislabeled members).
+
+    Engine-portable determinism: centroid components are per-(label, dim)
+    averages QUANTIZED to 6 decimals before any cosine (the same
+    intermediate-rounding trick as the integer-quantized IVF Lloyd step),
+    and every cosine uses the shared left-to-right ``dot`` accumulation, so
+    the DuckDB oracle reproduces the numbers exactly.
+
+    Scale shape: one posexplode to a map-side-combinable (label, dim) avg —
+    shuffle is #labels × dim rows; centroids reassemble via a bounded
+    collect_list-per-label (dim-sized arrays, #labels rows) and broadcast
+    back; the per-row cosine is a narrow codegen projection.  Output is
+    #labels rows.
+
+    Returns (label, n_vecs, centroid_norm, avg_cos, min_cos)."""
+    ex = df.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    joined = df.select(
+        F.col(label_col).alias("label"), F.col(vec_col).alias("_e")
+    ).join(F.broadcast(cvec), "label")
+    cos = F.round(cosine(F.col("_e"), F.col("cv")), 6)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min(norm(F.col("cv"))), 6).alias("centroid_norm"),
+        F.round(F.avg(cos), 6).alias("avg_cos"),
+        F.min(cos).alias("min_cos"),
+    )

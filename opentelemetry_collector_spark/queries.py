@@ -4742,6 +4742,48 @@ def token_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_entropy_by_source(_t(spark, sf_dir, "documents"), "source", "text")
 
 
+@_q(
+    "embedding_label_dispersion",
+    """
+    WITH ex AS (
+      SELECT label, unnest(range(1, 65)) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings),
+    cent AS (SELECT label, pos, ROUND(avg(v), 6) AS c FROM ex GROUP BY 1, 2),
+    cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    r AS (
+      SELECT e.label,
+             ROUND(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * cv.cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> cv.cv[i] * cv.cv[i])))), 6) AS cos,
+             sqrt(list_sum(list_transform(range(1, 65),
+                     i -> cv.cv[i] * cv.cv[i]))) AS cn
+      FROM embeddings e JOIN cv ON cv.label = e.label)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           ROUND(min(cn), 6) AS centroid_norm,
+           ROUND(avg(cos), 6) AS avg_cos,
+           min(cos) AS min_cos
+    FROM r GROUP BY label
+    """,
+)
+def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-ext per-label embedding dispersion audit (centroid norm,
+    avg/min member-to-centroid cosine) — the cluster-quality diagnostic
+    read before SemDeDup pruning or IVF cell sizing.  Centroid components
+    quantized at 6 decimals before any cosine (the IVF-Lloyd intermediate-
+    rounding trick) so both engines agree exactly; one (label, dim)
+    combinable aggregate + a broadcast #labels-row centroid table."""
+    from .operators.similarity import label_dispersion
+
+    return label_dispersion(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label"
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -4764,6 +4806,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "embedding_label_dispersion",
     "event_transition_matrix",
     "token_bigram_entropy",
     "events_anomaly_mad",

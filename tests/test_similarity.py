@@ -264,3 +264,25 @@ def test_semantic_dedup_keep_min_id_wins(spark):
     # loosening tau to 1.01 disables pruning entirely
     all_kept = semantic_dedup_keep(df, centroids, threshold=1.01)
     assert all_kept.count() == 6
+
+
+def test_label_dispersion_golden(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.similarity import label_dispersion
+
+    rows = [
+        # label 0: two colinear unit-ish vectors -> cos to centroid == 1.0
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [2.0, 0.0, 0.0, 0.0], 0),
+        # label 1: orthogonal pair -> centroid at 45 deg, cos = 1/sqrt(2)
+        (3, [1.0, 0.0, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in label_dispersion(df, "vec_id", "embedding", "label").collect()}
+    assert out[0].n_vecs == 2
+    assert out[0].centroid_norm == pytest.approx(1.5)
+    assert out[0].avg_cos == pytest.approx(1.0) and out[0].min_cos == pytest.approx(1.0)
+    assert out[1].avg_cos == pytest.approx(2 ** -0.5, abs=1e-5)
+    assert out[1].min_cos == pytest.approx(2 ** -0.5, abs=1e-5)
