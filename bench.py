@@ -123,6 +123,8 @@ HEADLINE = [
     "event_transition_matrix",
     "token_bigram_entropy",
     "embedding_label_dispersion",
+    "session_path_topk",
+    "mixture_epoch_plan",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -22,7 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.hashing import NUM_SAMPLER_BUCKETS, fnv1a32_udf, portable_bucket
 
@@ -453,4 +453,50 @@ def epoch_replicate(
                 F.array().cast("array<int>")
             )
         ),
+    )
+
+
+def epoch_plan(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str,
+    budget_tokens: int,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Mixture/epoch PLANNING table: given a token budget B and α=0.5
+    temperature weights (share of stratum s ∝ sqrt(n_toks_s) — the same
+    integer-quantized IEEE-sqrt construction as :func:`temperature_sample`,
+    bit-reproducible across engines), emit per stratum the target token
+    allocation and the fractional epoch count target/n_toks — the planner
+    output a DoReMi/alpha-sampling mixture tune hands to
+    ``epoch_replicate`` + ``token_budget_sample`` for execution.
+
+    All allocation arithmetic is exact int64 (tw ≤ 2^20·sqrt(n) and
+    B·tw ≤ 2^63 for any realistic budget); only the final epochs ratio is a
+    rounded double.  One corpus pass to (stratum, token-count), then a
+    window over the #strata-row table — bounded, the documented exception.
+
+    Returns (stratum, n_docs, n_toks, weight, target_toks, epochs)."""
+    from .textstats import token_count
+
+    per = (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col)).cast("long")).alias("n_toks"),
+        )
+    )
+    scale = 1 << scale_bits
+    tw = F.floor(F.sqrt(F.col("n_toks").cast("double")) * F.lit(scale)).cast("long")
+    staged = per.select("stratum", "n_docs", "n_toks", tw.alias("_tw"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tt = F.sum("_tw").over(w_all)
+    target = F.floor(F.lit(int(budget_tokens)) * F.col("_tw") / tt).cast("long")
+    return staged.select(
+        "stratum",
+        "n_docs",
+        "n_toks",
+        F.round(F.col("_tw").cast("double") / tt, 6).alias("weight"),
+        target.alias("target_toks"),
+        F.round(target.cast("double") / F.col("n_toks"), 6).alias("epochs"),
     )

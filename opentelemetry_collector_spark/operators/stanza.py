@@ -259,3 +259,63 @@ def streaming_window_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "key", "n")
     )
+
+
+def sessionize_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak: str,
+    type_col: str,
+    gap: str = "30 minutes",
+    k: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k session paths: sessions are inactivity-gap islands per user
+    (a new session starts when the gap from the previous event exceeds
+    ``gap``), each session's path is its ordered event-type string, and the
+    output is the k most frequent paths — the "what do users actually do"
+    table next to the funnel's hypothesis-driven one.
+
+    Scale shape: two stacked per-user windows (lag + running sum — the same
+    gaps-and-islands plan as ``recombine_multiline``; user keys are uniform
+    and a user's history fits one task), one (user, session) aggregate with
+    the array_sort ordered-rebuild idiom from ``assemble_traces``, then a
+    map-side-combinable per-path count and a global TakeOrdered(k) — no
+    full sort, #distinct-paths rows at the final exchange.
+
+    Returns (path, n_sessions, n_users, avg_len) — top k by (count DESC,
+    path ASC), deterministic."""
+    from ..functions.scalars import epoch_micros
+
+    import re
+
+    m = re.match(r"(\d+)\s*minute", gap)
+    if not m:
+        raise ValueError(f"gap must be '<N> minutes', got {gap!r}")
+    gap_us = int(m.group(1)) * 60_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        prev.isNull() | (epoch_micros(F.col(ts_col)) - epoch_micros(prev) > gap_us), 1
+    ).otherwise(0)
+    with_sid = df.select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"),
+        F.col(tiebreak).alias("_tb"), F.col(type_col).alias("_ty"),
+        F.sum(new_sess).over(w).alias("_sid"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("_ts", "_tb", "_ty")))
+    sessions = with_sid.groupBy("_u", "_sid").agg(
+        F.array_join(F.transform(ordered, lambda s: s["_ty"]), sep).alias("path"),
+        F.count(F.lit(1)).alias("_len"),
+    )
+    return (
+        sessions.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("_u").alias("n_users"),
+            F.round(F.avg("_len"), 6).alias("avg_len"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

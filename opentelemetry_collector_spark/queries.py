@@ -4784,6 +4784,73 @@ def embedding_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "session_path_topk",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS nf
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS sid FROM s),
+    p AS (SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                 count(*) AS len
+          FROM s2 GROUP BY 1, 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(avg(len), 6) AS avg_len
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext top-20 session paths: 30-minute inactivity-gap sessionization
+    (gaps-and-islands per user) + ordered event-type path per session + a
+    per-path frequency table — the observed-behavior complement to the
+    funnel's hypothesis.  Two stacked per-user windows, the assemble_traces
+    ordered-rebuild aggregate, then a combinable path count + TakeOrdered."""
+    from .operators.stanza import sessionize_paths
+
+    return sessionize_paths(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id", "event_type",
+        gap="30 minutes", k=20,
+    )
+
+
+@_q(
+    "mixture_epoch_plan",
+    """
+    WITH per AS (
+      SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+      FROM documents GROUP BY 1),
+    t AS (SELECT *, CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1048576)
+                         AS BIGINT) AS tw FROM per),
+    tot AS (SELECT CAST(sum(tw) AS BIGINT) AS tt FROM t)
+    SELECT stratum, n_docs, n_toks,
+           ROUND(CAST(tw AS DOUBLE) / tt, 6) AS weight,
+           (2000000 * tw) // tt AS target_toks,
+           ROUND(CAST((2000000 * tw) // tt AS DOUBLE) / n_toks, 6) AS epochs
+    FROM t, tot
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation ext: the mixture/epoch PLANNING table — α=0.5 temperature
+    weights (integer-quantized IEEE sqrt, the sample_temperature
+    construction) allocate a 2M-token budget per source and report the
+    fractional epochs (target/n_toks) that epoch_replicate +
+    token_budget_sample would execute.  Exact int64 allocation arithmetic;
+    one corpus pass, then a #strata-row window."""
+    from .operators.sampling import epoch_plan
+
+    return epoch_plan(
+        _t(spark, sf_dir, "documents"), "source", "text", budget_tokens=2_000_000
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -4806,6 +4873,8 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "session_path_topk",
+    "mixture_epoch_plan",
     "embedding_label_dispersion",
     "event_transition_matrix",
     "token_bigram_entropy",

@@ -382,3 +382,25 @@ def test_temperature_sample_alpha_one_is_proportional(spark):
     # natural shares: both strata accept ~50%
     assert abs(got["a"] / 1500 - 0.5) < 0.08
     assert abs(got["b"] / 500 - 0.5) < 0.10
+
+
+def test_epoch_plan_allocates_budget_by_sqrt(spark):
+    import math
+
+    import pytest
+
+    from opentelemetry_collector_spark.operators.sampling import epoch_plan
+
+    # 3 sources with 400/100/100 tokens -> sqrt weights 20/10/10 -> 1/2,1/4,1/4
+    rows = (
+        [("a", " ".join(["w"] * 40)) for _ in range(10)]
+        + [("b", " ".join(["w"] * 10)) for _ in range(10)]
+        + [("c", " ".join(["w"] * 10)) for _ in range(10)]
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.stratum: r for r in epoch_plan(df, "source", "text", budget_tokens=800).collect()}
+    assert out["a"].n_toks == 400 and out["b"].n_toks == 100
+    assert out["a"].weight == pytest.approx(0.5) and out["b"].weight == pytest.approx(0.25)
+    assert out["a"].target_toks == 400 and out["b"].target_toks == 200
+    assert out["a"].epochs == pytest.approx(1.0)
+    assert out["b"].epochs == pytest.approx(2.0)  # tail source replicated 2x

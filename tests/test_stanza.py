@@ -146,3 +146,29 @@ def test_burst_zscore_flags_spike(spark):
     assert all(not out[h].is_burst for h in out if h != 9)
     # trailing stats exclude the current window
     assert 2.0 <= out[9].trail_mean <= 3.0
+
+
+def test_sessionize_paths_gap_islands(spark):
+    from datetime import datetime, timedelta
+
+    from opentelemetry_collector_spark.operators.stanza import sessionize_paths
+
+    base = datetime(2025, 1, 1, 12, 0)
+    rows = [
+        # user 1: two sessions split by a 2h gap; both "a>b"
+        (1, 1, base, "a"), (1, 2, base + timedelta(minutes=5), "b"),
+        (1, 3, base + timedelta(hours=2), "a"),
+        (1, 4, base + timedelta(hours=2, minutes=10), "b"),
+        # user 2: one session "a>b"
+        (2, 5, base, "a"), (2, 6, base + timedelta(minutes=29), "b"),
+        # user 3: single-event session "c"
+        (3, 7, base, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = {r.path: r for r in sessionize_paths(
+        df, "user_id", "ts", "event_id", "event_type", gap="30 minutes", k=10
+    ).collect()}
+    assert out["a>b"].n_sessions == 3 and out["a>b"].n_users == 2
+    assert out["a>b"].avg_len == 2.0
+    assert out["c"].n_sessions == 1 and out["c"].n_users == 1
+    assert len(out) == 2
