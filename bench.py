@@ -125,6 +125,8 @@ HEADLINE = [
     "embedding_label_dispersion",
     "session_path_topk",
     "mixture_epoch_plan",
+    "text_lang_confusion",
+    "metrics_ewma_smooth",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -85,3 +85,37 @@ def session_agg(
         )
         .drop("sw")
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    trail: int = 4,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average per key: the metrics
+    smoothing pass dashboards and adaptive alerting run over windowed
+    counts (EWMA reacts to level shifts without the trailing-mean's lag).
+    Weight of the k-th most recent point is α(1−α)^k, truncated at
+    ``trail`` lags and renormalized over the points actually present, so
+    the first rows of a series are smoothed over what exists instead of
+    biased toward zero.  α defaults to 0.5 (dyadic weights — exactly
+    representable, engine-portable arithmetic).
+
+    One window pass per key with ``trail``+1 lag terms fused into a single
+    codegen projection; the window ordering domain is the series (e.g.
+    #time-buckets per key), never the raw stream.
+
+    Appends ``out_col``; preserves input columns."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(trail + 1):
+        wk = F.lit(alpha * (1.0 - alpha) ** k)
+        lagged = F.lag(value_col, k).over(w) if k else F.col(value_col)
+        num = num + F.when(lagged.isNotNull(), wk * lagged).otherwise(F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), wk).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(num / den, 6))

@@ -4851,6 +4851,104 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_lang_confusion",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|is)\b')) AS en,
+        len(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|los)\b')) AS es,
+        len(regexp_extract_all(text, '(?i)\b(le|la|de|et|les|des)\b')) AS fr,
+        len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|ein)\b')) AS de
+      FROM documents),
+    p AS (
+      SELECT lang,
+             CASE WHEN greatest(en, es, fr, de) < 1 THEN 'und'
+                  WHEN en >= greatest(es, fr, de) THEN 'en'
+                  WHEN es >= greatest(fr, de) THEN 'es'
+                  WHEN fr >= de THEN 'fr'
+                  ELSE 'de' END AS lang_pred
+      FROM s),
+    c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2)
+    SELECT lang, lang_pred, n,
+           ROUND(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS share,
+           lang = lang_pred AS is_match
+    FROM c
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext language-metadata confusion matrix: declared ``lang`` vs
+    the stopword-argmax detector — the audit that catches mislabeled or
+    code-switched sources before a language-filtered pretraining cut.  One
+    codegen detector projection + a #langs² aggregate; the share window
+    runs over the confusion table only."""
+    from pyspark.sql import Window
+
+    from .operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
+        (F.col("lang") == F.col("lang_pred")).alias("is_match"),
+    )
+
+
+@_q(
+    "metrics_ewma_smooth",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT ws, event_type, n,
+             lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ws))
+    SELECT ws, event_type, n,
+           ROUND(
+             (0.5 * n
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 * l1 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 * l2 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 * l3 END
+              + CASE WHEN l4 IS NULL THEN 0 ELSE 0.03125 * l4 END)
+             / (0.5
+                + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 END
+                + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 END
+                + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 END
+                + CASE WHEN l4 IS NULL THEN 0 ELSE 0.03125 END), 6) AS ewma
+    FROM l
+    """,
+)
+def metrics_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext EWMA smoothing over per-type tumbling counts (α=0.5 dyadic
+    weights, 4 trailing lags, renormalized over present points) — the
+    dashboard/adaptive-alert smoothing pass next to the z-score burst
+    detector.  One combinable count, one per-key window over #time-buckets
+    rows with all lag terms fused into a single projection."""
+    from .operators.stanza import burst_zscore  # noqa: F401 (family)
+    from .operators.windows import ewma_smooth
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    return ewma_smooth(counts, ["event_type"], "ws", "n", alpha=0.5, trail=4)
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -4873,6 +4971,8 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "text_lang_confusion",
+    "metrics_ewma_smooth",
     "session_path_topk",
     "mixture_epoch_plan",
     "embedding_label_dispersion",

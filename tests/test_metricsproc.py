@@ -366,3 +366,20 @@ def test_transition_matrix_counts_and_probs(spark):
     assert out[("b", "a")].n == 1 and out[("b", "a")].p == 0.5
     assert out[("b", "b")].n == 1 and out[("b", "b")].p == 0.5
     assert ("c", "c") not in out and len(out) == 3
+
+
+def test_ewma_smooth_renormalizes_head(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.windows import ewma_smooth
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 10, 10, 10, 20])]
+    df = spark.createDataFrame(rows, "k string, t long, n double")
+    out = {r.t: r.ewma for r in ewma_smooth(df, ["k"], "t", "n", alpha=0.5, trail=4).collect()}
+    # first point: only itself present -> ewma == value exactly
+    assert out[0] == 10.0
+    # steady series -> ewma == level at any history depth
+    assert out[3] == 10.0
+    # jump to 20: weights (.5,.25,.125,.0625,.03125)/0.96875 over [20,10,10,10,10]
+    want = (0.5 * 20 + 0.46875 * 10) / 0.96875
+    assert out[4] == pytest.approx(round(want, 6))
