@@ -127,6 +127,8 @@ HEADLINE = [
     "mixture_epoch_plan",
     "text_lang_confusion",
     "metrics_ewma_smooth",
+    "template_novelty",
+    "servicegraph_degree",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -4949,6 +4949,120 @@ def metrics_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_smooth(counts, ["event_type"], "ws", "n", alpha=0.5, trail=4)
 
 
+@_q(
+    "template_novelty",
+    """
+    WITH lines AS (
+      SELECT event_id, ts,
+             event_type || ' user=' || CAST(user_id AS VARCHAR) || ' ' || props
+               AS line
+      FROM events),
+    t AS (
+      SELECT ts,
+             regexp_replace(regexp_replace(line, '[0-9a-f]{8,}', '<HEX>', 'g'),
+                            '[0-9]+', '<NUM>', 'g') AS template
+      FROM lines),
+    g AS (SELECT template, CAST(count(*) AS BIGINT) AS n_lines,
+                 min(ts) AS first_seen, max(ts) AS last_seen
+          FROM t GROUP BY template)
+    SELECT template, n_lines, first_seen, last_seen,
+           first_seen > max(last_seen) OVER () - INTERVAL 7 DAY AS is_new
+    FROM g
+    """,
+)
+def template_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-ext new-template detector: templates whose FIRST occurrence falls
+    inside the trailing 7 days of the stream — the "a deploy introduced a
+    new error shape" alert on top of template mining.  Same one-projection
+    mask chain + per-template aggregate; the recency window runs over the
+    #templates-row table only."""
+    from pyspark.sql import Window
+
+    from .operators.stanza import template_mine
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.concat(
+            F.col("event_type"), F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" "), F.col("props"),
+        ),
+    )
+    g = template_mine(
+        ev, "line",
+        agg_cols={"first_seen": F.min("ts"), "last_seen": F.max("ts")},
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return g.select(
+        "template",
+        "n_lines",
+        "first_seen",
+        "last_seen",
+        (F.col("first_seen")
+         > F.max("last_seen").over(w) - F.expr("INTERVAL 7 DAY")).alias("is_new"),
+    )
+
+
+@_q(
+    "servicegraph_degree",
+    """
+    WITH sp AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS parent_id
+      FROM events),
+    e AS (
+      SELECT p.event_type AS client, c.event_type AS server
+      FROM sp c JOIN sp p
+        ON c.user_id = p.user_id AND c.parent_id = p.event_id),
+    o AS (SELECT client AS service, CAST(count(*) AS BIGINT) AS out_calls,
+                 CAST(count(DISTINCT server) AS BIGINT) AS fan_out
+          FROM e GROUP BY 1),
+    i AS (SELECT server AS service, CAST(count(*) AS BIGINT) AS in_calls,
+                 CAST(count(DISTINCT client) AS BIGINT) AS fan_in
+          FROM e GROUP BY 1)
+    SELECT COALESCE(o.service, i.service) AS service,
+           COALESCE(out_calls, 0) AS out_calls, COALESCE(fan_out, 0) AS fan_out,
+           COALESCE(in_calls, 0) AS in_calls, COALESCE(fan_in, 0) AS fan_in
+    FROM o FULL OUTER JOIN i ON o.service = i.service
+    """,
+)
+def servicegraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext service-graph topology audit: per service the fan-out/fan-in
+    degree and call volume over the same synthesized parent pairing as
+    connector_servicegraph — the dependency-hotspot table read next to the
+    per-edge RED metrics.  One pairing join, two #services-sized aggregates,
+    one full-outer merge of schema-sized frames."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    sp = ev.withColumn(
+        "parent_id",
+        F.lag("event_id").over(Window.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    child = sp.select("user_id", F.col("parent_id"), F.col("event_type").alias("server"))
+    parent = sp.select("user_id", F.col("event_id"), F.col("event_type").alias("client"))
+    e = child.join(
+        parent,
+        (child.user_id == parent.user_id) & (child.parent_id == parent.event_id),
+    ).select("client", "server")
+    o = e.groupBy(F.col("client").alias("service")).agg(
+        F.count(F.lit(1)).alias("out_calls"), F.countDistinct("server").alias("fan_out")
+    )
+    i = e.groupBy(F.col("server").alias("service")).agg(
+        F.count(F.lit(1)).alias("in_calls"), F.countDistinct("client").alias("fan_in")
+    )
+    return (
+        o.join(i, "service", "full_outer")
+        .select(
+            "service",
+            F.coalesce("out_calls", F.lit(0)).alias("out_calls"),
+            F.coalesce("fan_out", F.lit(0)).alias("fan_out"),
+            F.coalesce("in_calls", F.lit(0)).alias("in_calls"),
+            F.coalesce("fan_in", F.lit(0)).alias("fan_in"),
+        )
+    )
+
+
 # --- driver-gate key ordering -------------------------------------------------
 #
 # The correctness driver materializes the FIRST 50 queries() keys in dict
@@ -4971,6 +5085,8 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "template_novelty",
+    "servicegraph_degree",
     "text_lang_confusion",
     "metrics_ewma_smooth",
     "session_path_topk",

@@ -172,3 +172,28 @@ def test_sessionize_paths_gap_islands(spark):
     assert out["a>b"].avg_len == 2.0
     assert out["c"].n_sessions == 1 and out["c"].n_users == 1
     assert len(out) == 2
+
+
+def test_template_novelty_flags_recent_first_seen(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Window
+
+    from opentelemetry_collector_spark.operators.stanza import template_mine
+
+    rows = [
+        (1, datetime(2025, 1, 1), "GET /a/1"),
+        (2, datetime(2025, 1, 20), "GET /a/2"),     # old template, recent hit
+        (3, datetime(2025, 1, 19), "POST /b/3"),    # first seen inside last 7d
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, line string")
+    g = template_mine(df, "line", agg_cols={"first_seen": F.min("ts"),
+                                            "last_seen": F.max("ts")})
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    out = {r.template: r for r in g.select(
+        "template", "n_lines", "first_seen",
+        (F.col("first_seen") > F.max("last_seen").over(w) - F.expr("INTERVAL 7 DAY")).alias("is_new"),
+    ).collect()}
+    assert out["GET /a/<NUM>"].n_lines == 2 and not out["GET /a/<NUM>"].is_new
+    assert out["POST /b/<NUM>"].is_new
