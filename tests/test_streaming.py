@@ -708,3 +708,32 @@ def test_streaming_burst_counts_match_batch_scores(spark, tmp_path):
     assert spike == [("2024-01-01T09:00:00", "err")] or not any(
         k[0] == "2024-01-01T09:00:00" for k in got
     )
+
+
+def test_streaming_template_counts_match_batch(spark, tmp_path):
+    """Template mining is a pure projection + combinable aggregate, so the
+    streaming form (complete-mode groupBy) must equal the batch table after
+    all files are consumed."""
+    from opentelemetry_collector_spark.operators.stanza import template_mine
+
+    d = str(tmp_path / "tpl_in")
+    rows1 = [(1, "GET /user/42 took 15ms"), (2, "session deadbeef00 expired")]
+    rows2 = [(3, "GET /user/7 took 250ms"), (4, "GET /user/9 took 3ms")]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, "event_id long, line string") \
+            .coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("event_id long, line string")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        template_mine(stream, "line")
+        .writeStream.format("memory").queryName("tpl_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.template: r.n_lines for r in spark.sql("SELECT * FROM tpl_stream").collect()}
+    want = {r.template: r.n_lines
+            for r in template_mine(spark.read.parquet(d), "line").collect()}
+    assert got == want
+    assert got["GET /user/<NUM> took <NUM>ms"] == 3
