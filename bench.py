@@ -129,6 +129,7 @@ HEADLINE = [
     "metrics_ewma_smooth",
     "template_novelty",
     "servicegraph_degree",
+    "events_user_skew",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

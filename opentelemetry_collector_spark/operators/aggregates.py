@@ -305,3 +305,53 @@ def transition_matrix(
         "n",
         F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("p"),
     )
+
+
+def key_skew_audit(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Hot-key skew audit via the count-of-counts histogram — the diagnostic
+    run BEFORE any ``key_col``-keyed shuffle at 100 TB (a user/tenant whose
+    row count dwarfs the median pins one reducer; this table says whether
+    salting or an AQE skew hint is needed, per ``group_col``).
+
+    Scale shape: two cascaded hash aggregates, both map-side combinable —
+    (group, key) → c, then (group, c) → #keys-at-c.  The second output (the
+    histogram) is bounded by the number of DISTINCT per-key counts, not by
+    the number of keys, so the window pass that extracts quantiles runs over
+    a table that stays tiny no matter how many keys exist.  Discrete lower
+    quantiles (smallest c whose cumulative key coverage reaches q) are exact
+    and oracle-reproducible — no value-list collection anywhere.
+
+    Returns (group, n_keys, n_rows, p50_c, p90_c, p99_c, max_c, max_share).
+    """
+    per_key = df.groupBy(group_col, key_col).agg(F.count(F.lit(1)).alias("c"))
+    hist = per_key.groupBy(group_col, "c").agg(F.count(F.lit(1)).alias("u"))
+    cum = Window.partitionBy(group_col).orderBy("c")
+    tot = Window.partitionBy(group_col)
+    h2 = (
+        hist.withColumn("cum_u", F.sum("u").over(cum))
+        .withColumn("n_keys", F.sum("u").over(tot))
+        .withColumn("n_rows", F.sum(F.col("c") * F.col("u")).over(tot))
+    )
+
+    def _q_at(p: float):
+        return F.min(
+            F.when(
+                F.col("cum_u") >= F.ceil(F.lit(p) * F.col("n_keys")), F.col("c")
+            )
+        )
+
+    return (
+        h2.groupBy(group_col)
+        .agg(
+            F.max("n_keys").alias("n_keys"),
+            F.max("n_rows").alias("n_rows"),
+            _q_at(0.5).alias("p50_c"),
+            _q_at(0.9).alias("p90_c"),
+            _q_at(0.99).alias("p99_c"),
+            F.max("c").alias("max_c"),
+        )
+        .withColumn(
+            "max_share",
+            F.round(F.col("max_c").cast("double") / F.col("n_rows"), 6),
+        )
+    )

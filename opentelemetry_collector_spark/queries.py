@@ -4643,6 +4643,44 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_user_skew",
+    """
+    WITH pu AS (SELECT event_type, user_id, count(*) AS c
+                FROM events GROUP BY 1, 2),
+    h AS (SELECT event_type, c, count(*) AS u FROM pu GROUP BY 1, 2),
+    h2 AS (SELECT event_type, c, u,
+             sum(u) OVER (PARTITION BY event_type ORDER BY c) AS cum_u,
+             sum(u) OVER (PARTITION BY event_type) AS n_keys,
+             sum(c * u) OVER (PARTITION BY event_type) AS n_rows
+           FROM h)
+    SELECT event_type,
+           CAST(max(n_keys) AS BIGINT) AS n_keys,
+           CAST(max(n_rows) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN cum_u >= ceil(0.5 * n_keys) THEN c END)
+                AS BIGINT) AS p50_c,
+           CAST(min(CASE WHEN cum_u >= ceil(0.9 * n_keys) THEN c END)
+                AS BIGINT) AS p90_c,
+           CAST(min(CASE WHEN cum_u >= ceil(0.99 * n_keys) THEN c END)
+                AS BIGINT) AS p99_c,
+           CAST(max(c) AS BIGINT) AS max_c,
+           ROUND(CAST(max(c) AS DOUBLE) / max(n_rows), 6) AS max_share
+    FROM h2 GROUP BY event_type
+    """,
+)
+def events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext hot-key skew audit over per-user event counts — the diagnostic
+    run before any user-keyed shuffle (sessionization, funnels, transition
+    matrices all hash by user; this table says whether a power user pins a
+    reducer).  Count-of-counts construction: both aggregates are map-side
+    combinable and the quantile window runs over the tiny histogram, never
+    the key table — exact discrete quantiles with zero value-list
+    collection, the 100 TB-safe form of percentile(per-user count)."""
+    from .operators.aggregates import key_skew_audit
+
+    return key_skew_audit(_t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+@_q(
     "token_compression_ratio",
     r"""
     WITH per AS (
@@ -5085,6 +5123,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "events_user_skew",
     "template_novelty",
     "servicegraph_degree",
     "text_lang_confusion",

@@ -383,3 +383,23 @@ def test_ewma_smooth_renormalizes_head(spark):
     # jump to 20: weights (.5,.25,.125,.0625,.03125)/0.96875 over [20,10,10,10,10]
     want = (0.5 * 20 + 0.46875 * 10) / 0.96875
     assert out[4] == pytest.approx(round(want, 6))
+
+
+def test_key_skew_audit_hot_key_histogram(spark):
+    from opentelemetry_collector_spark.operators.aggregates import key_skew_audit
+
+    # group g: keys with counts 1,1,2,10 -> hist {1:2, 2:1, 10:1}
+    rows = [("g", 1)] + [("g", 2)] + [("g", 3)] * 2 + [("g", 4)] * 10
+    # group h: 5 uniform keys, 2 rows each -> no skew
+    rows += [("h", k) for k in range(1, 6) for _ in range(2)]
+    df = spark.createDataFrame(rows, "grp string, user long")
+    out = {r.grp: r for r in key_skew_audit(df, "grp", "user").collect()}
+    g = out["g"]
+    assert (g.n_keys, g.n_rows, g.max_c) == (4, 14, 10)
+    # discrete lower quantiles from the cum histogram: ceil(q*4) keys covered
+    assert (g.p50_c, g.p90_c, g.p99_c) == (1, 10, 10)
+    assert g.max_share == round(10 / 14, 6)
+    h = out["h"]
+    assert (h.n_keys, h.n_rows, h.max_c) == (5, 10, 2)
+    assert (h.p50_c, h.p90_c, h.p99_c) == (2, 2, 2)
+    assert h.max_share == 0.2
