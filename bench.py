@@ -130,6 +130,7 @@ HEADLINE = [
     "template_novelty",
     "servicegraph_degree",
     "events_user_skew",
+    "lsh_band_stats",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -247,6 +247,31 @@ def lsh_bands(
     )
 
 
+def lsh_band_histogram(
+    sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4, mode: str = "native"
+) -> DataFrame:
+    """(band, bucket_size, n_buckets, n_pairs): band-bucket size histogram —
+    the hot-bucket skew audit run BEFORE committing to the candidate
+    self-join.  ``n_pairs`` = C(size,2)·n_buckets is exactly the number of
+    candidate pairs that size class will emit, so the histogram's tail IS
+    the join's cost model: one bucket of 10⁶ ids contributes 5·10¹¹ pairs
+    and pins one task — this table says so for the price of the banding
+    pass alone (groupBy(band,bucket) is map-side combinable; the histogram
+    re-aggregation is bounded by distinct sizes, not by buckets).
+
+    The 100 TB protocol: run this, pick the df cap / band count, THEN run
+    lsh_candidate_pairs."""
+    bk = lsh_bands(sig_df, bands, rows_per_band, mode=mode)
+    sizes = bk.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return (
+        sizes.groupBy("band", "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .withColumn(
+            "n_pairs", F.expr("bucket_size * (bucket_size - 1) DIV 2 * n_buckets")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4, mode: str = "native"
 ) -> DataFrame:

@@ -1475,6 +1475,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "lsh_band_stats",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_WORD_CODES_SQL} AS codes
+      FROM documents WHERE doc_id < 200),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(codes)-1, 1)), i ->
+        (((codes[i]*31 + codes[i+1]) % 1000000007) * 31 + codes[i+2]) % 1000000007)) AS h
+      FROM words),
+    mh AS (
+      SELECT doc_id, k, min(((2*k+1) * (h % 2147483647) + k*97) % 2147483647) AS minhash
+      FROM sh, range(16) t(k)
+      GROUP BY doc_id, k),
+    bk AS (
+      SELECT doc_id, CAST(k // 4 AS INT) AS band,
+             string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY k) AS bucket
+      FROM mh GROUP BY doc_id, k // 4),
+    bz AS (SELECT band, bucket, count(*) AS bucket_size FROM bk GROUP BY 1, 2)
+    SELECT band, CAST(bucket_size AS BIGINT) AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(bucket_size * (bucket_size - 1) // 2 * count(*) AS BIGINT) AS n_pairs
+    FROM bz GROUP BY band, bucket_size
+    """,
+)
+def lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2-ext LSH hot-bucket audit: band-bucket size histogram + the exact
+    candidate-pair count each size class will emit (C(size,2)·n_buckets) —
+    the cost model consulted BEFORE the candidate self-join at 100 TB (a
+    boilerplate bucket of 10⁶ ids means 5·10¹¹ pairs in one task; this
+    table prices that for one banding pass).  Portable minhash/banding so
+    the oracle regenerates buckets exactly; same doc_id<200 slice as
+    dedup_minhash_lsh (the oracle replays the full shingle→minhash→band
+    construction in SQL)."""
+    from .operators.dedup import lsh_band_histogram, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = minhash_signatures(d, "doc_id", "text", k=16, mode="portable")
+    return lsh_band_histogram(sig, bands=4, rows_per_band=4, mode="portable")
+
+
+@_q(
     "text_contamination",
     """
     WITH sh AS (
@@ -5123,6 +5164,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "lsh_band_stats",
     "events_user_skew",
     "template_novelty",
     "servicegraph_degree",

@@ -530,3 +530,27 @@ def test_paragraph_dedup_no_hot_digest_window(spark):
     plan = paragraph_dedup(df, "doc_id", "text")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_lsh_band_histogram_prices_candidate_join(spark, docs):
+    """Histogram counts buckets by size and n_pairs = C(size,2)*n_buckets;
+    total pairs across bands = per-band collisions the candidate join emits
+    (before the cross-band distinct)."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        lsh_band_histogram,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "doc_id", "text", k=16)
+    hist = lsh_band_histogram(sigs, bands=8, rows_per_band=2).collect()
+    assert all(r.n_pairs == r.bucket_size * (r.bucket_size - 1) // 2 * r.n_buckets
+               for r in hist)
+    # docs 1 and 2 are exact dups: identical signatures -> they share a
+    # bucket in EVERY band, so every one of the 8 bands has >= 1 pair
+    per_band_pairs = {}
+    for r in hist:
+        per_band_pairs[r.band] = per_band_pairs.get(r.band, 0) + r.n_pairs
+    assert len(per_band_pairs) == 8 and all(v >= 1 for v in per_band_pairs.values())
+    # bucket membership is conserved: sum(size * n_buckets) = 8 bands * n_docs
+    n_docs = sigs.count()
+    assert sum(r.bucket_size * r.n_buckets for r in hist) == 8 * n_docs
