@@ -131,6 +131,8 @@ HEADLINE = [
     "servicegraph_degree",
     "events_user_skew",
     "lsh_band_stats",
+    "sample_uniform_topk",
+    "dedup_source_overlap",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -782,6 +782,34 @@ def cross_source_overlap(
     )
 
 
+def source_fingerprint_overlap(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """(src_a, src_b, shared_fps): doc-LEVEL exact-dup overlap matrix — for
+    every unordered source pair, the number of DISTINCT whole-document
+    fingerprints present in BOTH (diagonal = distinct fingerprints per
+    source).  The mixture-planning complement to cross_source_overlap's
+    shingle-level leakage: this one prices "how much of source A is source
+    B verbatim", which decides whether cross-source dedup is worth a pass
+    before the mixture is frozen.
+
+    Scale shape: identical to cross_source_overlap — after
+    ``distinct (fp, source)`` a fingerprint's multiplicity is ≤ #sources,
+    so the self-equi-join on fp fans out ≤ #sources² per fp no matter how
+    duplicated the doc is; output is #sources²-row tiny."""
+    d = df.select(
+        F.md5(F.col(text_col)).alias("fp"), F.col(group_col).alias("_src")
+    ).distinct()
+    a = d.select("fp", F.col("_src").alias("src_a"))
+    b = d.select("fp", F.col("_src").alias("src_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,

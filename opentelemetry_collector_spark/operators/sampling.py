@@ -500,3 +500,28 @@ def epoch_plan(
         target.alias("target_toks"),
         F.round(target.cast("double") / F.col("n_toks"), 6).alias("epochs"),
     )
+
+
+def uniform_topk_sample(
+    df: DataFrame, id_col: str, k: int = 100, keep: list[str] | None = None
+) -> DataFrame:
+    """Exact-k uniform sample: rank every row by a deterministic affine hash
+    of its id and keep the k smallest — the reproducible "give me exactly
+    10k eyeball docs" cut (probabilistic_sample keeps a FRACTION; this
+    keeps a COUNT, and the same k rows on every run and every engine).
+
+    Scale shape: orderBy(rank).limit(k) compiles to TakeOrderedAndProject —
+    each task keeps its own k smallest and only those k·#partitions rows
+    ever leave the scan; no global sort, no shuffle of the input.  The id
+    is folded mod 2³¹ BEFORE the multiply so the product stays under the
+    int64 ANSI-overflow line for any id."""
+    rank = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(2147483648),
+    )
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
+    return (
+        df.select(*cols, rank.alias("sample_rank"))
+        .orderBy("sample_rank", id_col)
+        .limit(k)
+    )

@@ -495,6 +495,31 @@ def sample_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sample_uniform_topk",
+    """
+    SELECT doc_id, source,
+           CAST(((doc_id % 2147483648) * 2654435761) % 2147483648 AS BIGINT)
+             AS sample_rank
+    FROM documents
+    ORDER BY sample_rank, doc_id LIMIT 100
+    """,
+)
+def sample_uniform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3-ext exact-COUNT uniform sample (k smallest affine-hash ranks) —
+    the reproducible "exactly k eyeball docs" cut next to sample_prob's
+    keep-FRACTION filter.  orderBy(rank).limit(k) compiles to
+    TakeOrderedAndProject: per-task top-k, no global sort, no input
+    shuffle — the global top-k pattern that survives any corpus size for
+    small k."""
+    from .operators.sampling import uniform_topk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return uniform_topk_sample(d, "doc_id", k=100, keep=["source"]).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+@_q(
     "sample_stratified",
     """
     SELECT doc_id, source FROM documents
@@ -1471,6 +1496,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(d, "doc_id", "text", k=16, mode="portable")
     return sig.select(
         F.col("id").alias("doc_id"), F.posexplode("sig").alias("k", "minhash")
+    )
+
+
+@_q(
+    "dedup_source_overlap",
+    """
+    WITH d AS (SELECT DISTINCT md5(text) AS fp, source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM d a JOIN d b USING (fp)
+    WHERE a.source <= b.source
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-ext doc-level exact-dup overlap matrix across sources (diagonal =
+    distinct fingerprints per source) — prices "how much of A is B
+    verbatim" before the mixture is frozen; the whole-document complement
+    to contamination_matrix's shingle leakage.  distinct(fp, source) bounds
+    the self-join fan-out at #sources² per fingerprint regardless of how
+    hot the doc is."""
+    from .operators.dedup import source_fingerprint_overlap
+
+    return source_fingerprint_overlap(
+        _t(spark, sf_dir, "documents"), "source", "text"
     )
 
 
@@ -5164,6 +5214,8 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "sample_uniform_topk",
+    "dedup_source_overlap",
     "lsh_band_stats",
     "events_user_skew",
     "template_novelty",

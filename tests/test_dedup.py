@@ -554,3 +554,17 @@ def test_lsh_band_histogram_prices_candidate_join(spark, docs):
     # bucket membership is conserved: sum(size * n_buckets) = 8 bands * n_docs
     n_docs = sigs.count()
     assert sum(r.bucket_size * r.n_buckets for r in hist) == 8 * n_docs
+
+
+def test_source_fingerprint_overlap_matrix(spark):
+    from opentelemetry_collector_spark.operators.dedup import source_fingerprint_overlap
+
+    rows = [(1, "a", "x"), (2, "a", "y"), (3, "b", "x"), (4, "b", "x"),
+            (5, "b", "z"), (6, "c", "q")]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {(r.src_a, r.src_b): r.shared_fps
+           for r in source_fingerprint_overlap(df, "src", "text").collect()}
+    # diagonal = distinct fps per source (b's duplicated "x" counts once)
+    assert out[("a", "a")] == 2 and out[("b", "b")] == 2 and out[("c", "c")] == 1
+    assert out[("a", "b")] == 1          # "x" present in both
+    assert ("a", "c") not in out and ("b", "c") not in out

@@ -404,3 +404,20 @@ def test_epoch_plan_allocates_budget_by_sqrt(spark):
     assert out["a"].target_toks == 400 and out["b"].target_toks == 200
     assert out["a"].epochs == pytest.approx(1.0)
     assert out["b"].epochs == pytest.approx(2.0)  # tail source replicated 2x
+
+
+def test_uniform_topk_sample_exact_k_deterministic_plan(spark):
+    from opentelemetry_collector_spark.operators.sampling import uniform_topk_sample
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = uniform_topk_sample(df, "doc_id", k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    # the kept ranks are the 10 globally smallest affine-hash ranks
+    all_ranks = sorted(((i % 2**31) * 2654435761) % 2**31 for i in range(1000))
+    assert sorted(r.sample_rank for r in rows) == all_ranks[:10]
+    # deterministic: identical cut on re-execution
+    assert [r.doc_id for r in out.collect()] == [r.doc_id for r in rows]
+    # global top-k without a global sort: TakeOrderedAndProject, no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
