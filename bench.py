@@ -133,6 +133,7 @@ HEADLINE = [
     "lsh_band_stats",
     "sample_uniform_topk",
     "dedup_source_overlap",
+    "chunk_sliding_window",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -484,3 +484,51 @@ def token_coverage_curve(
         )
         .orderBy("rank")
     )
+
+
+def sliding_window_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    size: int = 256,
+    stride: int = 128,
+) -> DataFrame:
+    """Stride-overlap context windows per document (the tokenizer
+    ``return_overflowing_tokens`` convention): windows of exactly
+    ``min(size, n)`` tokens starting at 0, stride, 2·stride, …, with the
+    LAST window clamped to end at the document end so every token is
+    covered and no window is shorter than the clamp allows.  The
+    overlapping complement to ``chunk_token_stream_global``'s disjoint
+    concat-and-split: this one keeps document boundaries and trades
+    duplicate tokens for full-context training windows.
+
+    Doc-local by construction — start offsets come from a per-row
+    ``sequence``, so there is NO cross-doc coordination, no prefix sum, no
+    shuffle: one codegen projection + explode, embarrassingly parallel at
+    any corpus size.
+
+    Returns (id, start, n_tok, chunk_md5) — the md5 of the comma-joined
+    token ids value-checks every token of every window."""
+    if not 0 < stride <= size:
+        raise ValueError("need 0 < stride <= size")
+    n = F.size(F.col(tokens_col))
+    last = F.greatest(n - size, F.lit(0))
+    starts = F.array_distinct(
+        F.concat(
+            F.filter(
+                F.sequence(F.lit(0), last, F.lit(stride)), lambda s: s < last
+            ),
+            F.array(last),
+        )
+    )
+    chunk = F.slice(F.col(tokens_col), F.col("start") + 1, size)
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col).alias("id"), F.col(tokens_col), F.explode(starts).alias("start"))
+        .select(
+            "id",
+            F.col("start").cast("bigint").alias("start"),
+            F.size(chunk).cast("int").alias("n_tok"),
+            F.md5(F.concat_ws(",", chunk.cast("array<string>"))).alias("chunk_md5"),
+        )
+    )

@@ -3576,6 +3576,51 @@ def chunk_token_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "chunk_sliding_window",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({_WORD_CODES_SQL}, c -> CAST(c % 50257 AS INTEGER))
+               AS toks
+      FROM documents),
+    d AS (SELECT doc_id, toks, greatest(len(toks) - 64, 0) AS last
+          FROM t WHERE len(toks) > 0),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(list_distinct(list_append(
+               list_filter(range(0, last + 1, 32), x -> x < last), last)))
+               AS start
+      FROM d)
+    SELECT doc_id, CAST(start AS BIGINT) AS start,
+           CAST(len(toks[start+1 : start+64]) AS INT) AS n_tok,
+           md5(array_to_string(toks[start+1 : start+64], ',')) AS chunk_md5
+    FROM st
+    """,
+)
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-ext stride-overlap context windows (size 64, stride 32, last window
+    clamped to the doc end) — the tokenizer return_overflowing_tokens
+    convention next to chunk_token_stream's disjoint concat-and-split.
+    Doc-local: start offsets come from a per-row sequence, so the whole op
+    is one codegen projection + explode with NO shuffle and no cross-doc
+    coordination; the md5 value-checks every token of every window."""
+    from .operators.packing import sliding_window_chunks
+    from .operators.textstats import word_codes
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", word_codes(F.col("text")).alias("_codes")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.col("_codes"), lambda c: F.pmod(c, F.lit(50257)).cast("int")
+        ).alias("tokens"),
+    )
+    return sliding_window_chunks(docs, "doc_id", "tokens", size=64, stride=32).select(
+        F.col("id").alias("doc_id"), "start", "n_tok", "chunk_md5"
+    )
+
+
+@_q(
     "session_window_agg",
     """
     WITH marked AS (
@@ -5214,6 +5259,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "chunk_sliding_window",
     "sample_uniform_topk",
     "dedup_source_overlap",
     "lsh_band_stats",

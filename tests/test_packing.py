@@ -465,3 +465,46 @@ def test_token_coverage_curve_monotone_and_exact(spark):
     assert got[4] == (8, 1.0)           # full vocab
     covs = [r.coverage for r in out]
     assert covs == sorted(covs)
+
+
+def test_sliding_window_chunks_clamp_and_coverage(spark):
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.packing import sliding_window_chunks
+
+    rows = [
+        (1, list(range(10))),   # last=6: starts 0,2,4 + clamp 6
+        (2, list(range(3))),    # shorter than size: one whole-doc window
+        (3, []),                # empty: no windows
+        (4, list(range(8))),    # clamp 4 collides with stride multiple: dedup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = sliding_window_chunks(df, "doc_id", "tokens", size=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    assert sorted(r.start for r in by_doc[1]) == [0, 2, 4, 6]
+    assert all(r.n_tok == 4 for r in by_doc[1])
+    assert [(r.start, r.n_tok) for r in by_doc[2]] == [(0, 3)]
+    assert 3 not in by_doc
+    assert sorted(r.start for r in by_doc[4]) == [0, 2, 4]
+    # md5 value-checks the exact window content
+    want = hashlib.md5("6,7,8,9".encode()).hexdigest()
+    assert next(r.chunk_md5 for r in by_doc[1] if r.start == 6) == want
+    # every token of doc 1 is covered by the union of windows
+    covered = set()
+    for r in by_doc[1]:
+        covered |= set(range(r.start, r.start + r.n_tok))
+    assert covered == set(range(10))
+
+
+def test_sliding_window_chunks_rejects_bad_stride(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.packing import sliding_window_chunks
+
+    df = spark.createDataFrame([(1, [1, 2])], "doc_id long, tokens array<int>")
+    with pytest.raises(ValueError):
+        sliding_window_chunks(df, "doc_id", "tokens", size=4, stride=5)
+    with pytest.raises(ValueError):
+        sliding_window_chunks(df, "doc_id", "tokens", size=4, stride=0)
