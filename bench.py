@@ -134,6 +134,7 @@ HEADLINE = [
     "sample_uniform_topk",
     "dedup_source_overlap",
     "chunk_sliding_window",
+    "ann_range_search",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -70,6 +70,44 @@ def cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def cosine_range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Radius (threshold) search: every (query, neighbor) pair with
+    cos ≥ threshold — the ANN query type top-k can't express (dedup-by-
+    similarity, "all docs within ε of this exemplar" retrieval).  Same
+    broadcast-queries × streamed-vectors shape as cosine_topk but with NO
+    ranking window and NO shuffle at all: the threshold is a codegen
+    filter applied as each pair is scored, so only matches survive the
+    scan — output size is bounded by the matches, not the corpus.  The
+    filter compares the ROUNDED score so an independent engine reproduces
+    the boundary exactly."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn"))
+    return (
+        v.join(q, F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dot(F.col("qvec"), F.col(vec_col)) / (F.col("_qn") * F.col("_vn")), round_to
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def cosine_topk_arrow(
     vectors: DataFrame,
     queries: DataFrame,

@@ -3033,6 +3033,37 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ann_range_search",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(range(1, len(qvec)+1),
+                 i -> CAST(qvec[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qvec)+1),
+                    i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(v.embedding)+1),
+                    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))
+             , 4) AS cos
+      FROM embeddings v, q WHERE v.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= 0.25
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext radius (threshold) search: all neighbors with cos ≥ 0.25 — the
+    ANN query type top-k can't express (similarity dedup, "everything
+    within ε of this exemplar").  Broadcast queries, streamed vectors, the
+    threshold as a codegen filter at score time: NO ranking window, NO
+    shuffle anywhere — output is bounded by matches, not corpus size."""
+    from .operators.similarity import cosine_range_search
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 3)
+    return cosine_range_search(v, q, threshold=0.25)
+
+
+@_q(
     "ann_ivf_topk",
     f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
@@ -5259,6 +5290,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "ann_range_search",
     "chunk_sliding_window",
     "sample_uniform_topk",
     "dedup_source_overlap",

@@ -286,3 +286,32 @@ def test_label_dispersion_golden(spark):
     assert out[0].avg_cos == pytest.approx(1.0) and out[0].min_cos == pytest.approx(1.0)
     assert out[1].avg_cos == pytest.approx(2 ** -0.5, abs=1e-5)
     assert out[1].min_cos == pytest.approx(2 ** -0.5, abs=1e-5)
+
+
+def test_cosine_range_search_threshold_and_no_shuffle(spark):
+    from opentelemetry_collector_spark.operators.similarity import (
+        cosine_range_search,
+        cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),    # cos with q0 ~ 0.995
+        (2, [0.0, 1.0]),    # cos with q0 = 0
+        (3, [-1.0, 0.0]),   # cos with q0 = -1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = cosine_range_search(df, q, threshold=0.5).collect()
+    assert {(r.query_id, r.neighbor_id) for r in out} == {(0, 1)}
+    assert all(r.cos >= 0.5 for r in out)
+    # radius superset sanity: every top-k hit above tau is a range hit
+    topk = {(r.query_id, r.neighbor_id) for r in cosine_topk(df, q, k=4).collect()
+            if r.cos >= 0.5}
+    assert topk <= {(r.query_id, r.neighbor_id) for r in out}
+    # no SHUFFLE exchange and no ranking window: the only Exchange is the
+    # intended BroadcastExchange of the query side
+    plan = cosine_range_search(df, q, threshold=0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "hashpartitioning" not in plan and "Window" not in plan
+    assert "BroadcastExchange" in plan
