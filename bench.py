@@ -135,6 +135,7 @@ HEADLINE = [
     "dedup_source_overlap",
     "chunk_sliding_window",
     "ann_range_search",
+    "text_heldout_logprob",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -1137,3 +1137,39 @@ def bigram_entropy_by_source(df, source_col: str = "source", text_col: str = "te
             F.round("h_bigram_cond", 6).alias("h_bigram_cond"),
         )
     )
+
+
+def heldout_unigram_eval(train_df, eval_df, text_col: str, group_col: str):
+    """Held-out LM evaluation: fit the unigram LM on the TRAIN split only,
+    score the EVAL split per group — the train/valid generalization check
+    :func:`unigram_logprob` (which scores the corpus under its own
+    distribution) cannot give.  Reports per group the held-out token count,
+    the OOV rate against the train vocabulary (the coverage half of the
+    eval), and the mean log2-probability of the in-vocab tokens (the fit
+    half).
+
+    Plan shape: train explode → vocab aggregate (zipf-bounded, persisted —
+    it feeds both the corpus total and the scoring join); eval explode
+    LEFT-joins the vocab on the token (OOV = null count) and the corpus
+    total rides in as the 1-row broadcast scalar.  Both shuffles carry
+    (group, token)-sized rows; at 100 TB broadcast a df-capped vocab head
+    or use the hashed-bucket variant exactly as unigram_logprob_hashed."""
+    import pyspark.sql.functions as F
+
+    toks_tr = train_df.select(F.explode(words(F.col(text_col))).alias("tok"))
+    vocab = toks_tr.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    total = vocab.agg(F.sum("c").alias("nt"))
+    toks_ev = eval_df.select(
+        F.col(group_col), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    j = toks_ev.join(vocab, "tok", "left").join(F.broadcast(total))
+    in_v = F.col("c").isNotNull()
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.avg(F.col("c").isNull().cast("double")), 6).alias("oov_rate"),
+        F.round(
+            F.sum(F.when(in_v, F.log2("c"))) / F.sum(in_v.cast("double"))
+            - F.first(F.log2("nt")),
+            4,
+        ).alias("avg_logp"),
+    )

@@ -4100,6 +4100,41 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_heldout_logprob",
+    """
+    WITH tr AS (SELECT text FROM documents
+                WHERE ((doc_id % 100003) * 2654435761) % 16384 < 12288),
+    tt AS (SELECT unnest(string_split(text, ' ')) AS tok FROM tr),
+    v AS (SELECT tok, count(*) AS c FROM tt GROUP BY tok),
+    n AS (SELECT count(*) AS nt FROM tt),
+    ev AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+           WHERE ((doc_id % 100003) * 2654435761) % 16384 >= 12288),
+    j AS (SELECT ev.source, v.c FROM ev LEFT JOIN v USING (tok))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+           ROUND(avg(CASE WHEN c IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate,
+           ROUND(sum(CASE WHEN c IS NOT NULL THEN log2(c) END)
+                 / sum(CASE WHEN c IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 - log2((SELECT nt FROM n)), 4) AS avg_logp
+    FROM j GROUP BY source
+    """,
+)
+def text_heldout_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext held-out LM eval: unigram LM fit on the deterministic 75 %
+    hash-split train docs (same portable split family as sample_prob),
+    scored per source on the held-out 25 % — OOV rate (coverage) + mean
+    in-vocab log2-prob (fit), the train/valid generalization check
+    text_unigram_logprob's self-scored form cannot give."""
+    from .operators.textstats import heldout_unigram_eval
+
+    d = _t(spark, sf_dir, "documents")
+    keep = (
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(100003)) * F.lit(2654435761), F.lit(16384))
+        < 12288
+    )
+    return heldout_unigram_eval(d.filter(keep), d.filter(~keep), "text", "source")
+
+
+@_q(
     "text_bigram_logprob",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -5290,6 +5325,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "text_heldout_logprob",
     "ann_range_search",
     "chunk_sliding_window",
     "sample_uniform_topk",

@@ -565,3 +565,22 @@ def test_bigram_entropy_by_source(spark):
     # unique bigrams with unique left contexts: also fully determined
     assert out["flat"].n_distinct_bigrams == 3 and out["flat"].h_bigram_cond == 0.0
     assert out["flat"].h_unigram == pytest.approx(2.0)
+
+
+def test_heldout_unigram_eval_oov_and_logprob(spark):
+    from opentelemetry_collector_spark.operators.textstats import heldout_unigram_eval
+
+    train = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(2, "s", "a b z"), (3, "t", "q")], "doc_id long, source string, text string"
+    )
+    out = {r.source: r for r in heldout_unigram_eval(train, ev, "text", "source").collect()}
+    s = out["s"]
+    # vocab a:2 b:1, NT=3; eval a,b in-vocab, z OOV
+    assert s.n_tok == 3 and s.oov_rate == round(1 / 3, 6)
+    import math
+    assert s.avg_logp == round((1.0 + 0.0) / 2 - math.log2(3), 4)
+    # all-OOV group: oov_rate 1, no in-vocab tokens -> avg_logp is NaN/None
+    t = out["t"]
+    assert t.n_tok == 1 and t.oov_rate == 1.0
+    assert t.avg_logp is None or t.avg_logp != t.avg_logp
