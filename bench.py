@@ -136,6 +136,7 @@ HEADLINE = [
     "chunk_sliding_window",
     "ann_range_search",
     "text_heldout_logprob",
+    "ann_sq8_audit",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

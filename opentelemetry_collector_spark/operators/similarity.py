@@ -784,3 +784,49 @@ def label_dispersion(df: DataFrame, id_col: str, vec_col: str, label_col: str) -
         F.round(F.avg(cos), 6).alias("avg_cos"),
         F.min(cos).alias("min_cos"),
     )
+
+
+def sq8_quantization_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Int8 scalar-quantization (SQ8) reconstruction audit: quantize each
+    vector to int8 with a per-vector max-abs scale (q = floor(x·127/scale),
+    recon = q·scale/127), and report per label the reconstruction cosine
+    (avg + worst) and the scale distribution — the go/no-go table for the
+    standard 4× memory shrink before ANN at 100 TB (PQ's simpler sibling;
+    if min_cos stays ≈1 the float32 vectors never need to leave disk).
+
+    floor() quantization (not round) so an independent engine reproduces
+    every quantized value bit-for-bit; per-row cosines are quantized to 6
+    decimals BEFORE the group average so the distributed sum order cannot
+    leak into the rounded result (the embedding_label_dispersion lesson).
+
+    Plan: pure per-row codegen projections staged so the scale is computed
+    once per vector (HOFs block CSE — the let/stage lesson), then one
+    map-side-combinable aggregate per label; no joins, no window."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    staged = df.select(F.col(id_col), F.col(label_col).alias("label"), x.alias("_x"))
+    staged = staged.withColumn(
+        "_scale", F.array_max(F.transform(F.col("_x"), F.abs))
+    ).filter(F.col("_scale") > 0)
+    recon = F.transform(
+        F.col("_x"),
+        lambda v: F.floor(v * 127 / F.col("_scale")) * F.col("_scale") / 127,
+    )
+    staged = staged.withColumn("_r", recon)
+    cos_q = F.round(
+        dot(F.col("_x"), F.col("_r")) / (norm(F.col("_x")) * norm(F.col("_r"))), 6
+    )
+    return (
+        staged.select("label", cos_q.alias("_c"), F.col("_scale"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vec"),
+            F.round(F.avg("_c"), 4).alias("avg_cos"),
+            F.round(F.min("_c"), 4).alias("min_cos"),
+            F.round(F.avg("_scale"), 6).alias("avg_scale"),
+        )
+    )

@@ -3033,6 +3033,45 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ann_sq8_audit",
+    """
+    WITH x AS (
+      SELECT label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    s AS (
+      SELECT label, x, list_max(list_transform(x, v -> abs(v))) AS scale
+      FROM x),
+    qr AS (
+      SELECT label, x, scale,
+             list_transform(x, v -> floor(v * 127 / scale) * scale / 127) AS r
+      FROM s WHERE scale > 0),
+    c AS (
+      SELECT label, scale,
+             ROUND(
+               list_sum(list_transform(range(1, len(x)+1), i -> x[i] * r[i]))
+               / (sqrt(list_sum(list_transform(x, v -> v*v)))
+                * sqrt(list_sum(list_transform(r, v -> v*v)))), 6) AS cosq
+      FROM qr)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vec,
+           ROUND(avg(cosq), 4) AS avg_cos,
+           ROUND(min(cosq), 4) AS min_cos,
+           ROUND(avg(scale), 6) AS avg_scale
+    FROM c GROUP BY label
+    """,
+)
+def ann_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext int8 scalar-quantization audit: per-label reconstruction cosine
+    (avg + worst) and scale stats for the max-abs SQ8 codec — the go/no-go
+    table for the standard 4× ANN memory shrink at 100 TB.  floor()
+    quantization and 6-decimal per-row cosine quantization for exact
+    engine parity; pure codegen projections + one map-side-combinable
+    aggregate, no joins."""
+    from .operators.similarity import sq8_quantization_audit
+
+    return sq8_quantization_audit(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "ann_range_search",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
@@ -5325,6 +5364,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "ann_sq8_audit",
     "text_heldout_logprob",
     "ann_range_search",
     "chunk_sliding_window",

@@ -315,3 +315,32 @@ def test_cosine_range_search_threshold_and_no_shuffle(spark):
         .executedPlan().toString()
     assert "hashpartitioning" not in plan and "Window" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_sq8_quantization_audit_reconstruction(spark):
+    import math
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        sq8_quantization_audit,
+    )
+
+    rows = [
+        (0, [1.0, -0.5], 7),
+        (1, [0.25, 0.25], 7),
+        (2, [0.0, 0.0], 9),     # zero vector: filtered (scale 0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in sq8_quantization_audit(df).collect()}
+    assert 9 not in out and out[7].n_vec == 2
+    # python replica of the codec for vector 0
+    x = [1.0, -0.5]
+    scale = 1.0
+    r = [math.floor(v * 127 / scale) * scale / 127 for v in x]
+    cos0 = round(sum(a * b for a, b in zip(x, r)) / (
+        math.sqrt(sum(a * a for a in x)) * math.sqrt(sum(b * b for b in r))), 6)
+    # vector 1 is uniform: quantizes exactly -> cos 1.0
+    assert out[7].min_cos == round(min(cos0, 1.0), 4)
+    assert out[7].avg_cos == round((cos0 + 1.0) / 2, 4)
+    assert out[7].avg_scale == round((1.0 + 0.25) / 2, 6)
+    # SQ8 on near-uniform vectors must be near-lossless
+    assert out[7].min_cos > 0.99
