@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_range_search",
     "text_heldout_logprob",
     "ann_sq8_audit",
+    "funnel_latency",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -355,3 +355,62 @@ def key_skew_audit(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
             F.round(F.col("max_c").cast("double") / F.col("n_rows"), 6),
         )
     )
+
+
+def funnel_latencies(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Time-to-convert per funnel edge: for every user who completes step
+    *i* (earliest step-*i* event at-or-after their earliest step-(i−1)
+    completion — the same reach semantics as :func:`funnel_steps`), the
+    latency t_i − t_{i−1}; reported per edge as count + exact p50/p90 +
+    mean seconds.  The latency half of the funnel report — reach says HOW
+    MANY convert, this says HOW FAST.
+
+    Scale shape: identical join/min ladder to funnel_steps (per step one
+    filtered scan + one uniform user-keyed shuffle of pre-aggregated
+    rows); the percentile aggregate runs over the per-user EDGE frame
+    (#converting-users rows, shrinking per step).  Exact interpolated
+    percentiles for oracle parity — at 100 TB swap percentile →
+    percentile_approx exactly as len_quantiles_by_source documents.
+    Timestamps go through unix_micros over an ltz cast (NTZ-safe, session
+    TZ pinned UTC) so the DuckDB epoch_us replay is integer-exact.
+
+    Returns (edge_idx, edge, n_users, p50_s, p90_s, avg_s)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    ev = df.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_e"), us.alias("_us")
+    )
+    reached = (
+        ev.filter(F.col("_e") == steps[0]).groupBy("_u").agg(F.min("_us").alias("_t"))
+    )
+    edges = []
+    for i, s in enumerate(steps[1:], 1):
+        nxt = (
+            ev.filter(F.col("_e") == s)
+            .join(reached, "_u")
+            .filter(F.col("_us") >= F.col("_t"))
+            .groupBy("_u")
+            # _t is constant per user in the joined frame: min() just carries it
+            .agg(F.min("_us").alias("_t2"), F.min("_t").alias("_tp"))
+        )
+        lat = (F.col("_t2") - F.col("_tp")) / F.lit(1e6)
+        edges.append(
+            nxt.select(lat.alias("_lat")).agg(
+                F.lit(i).cast("bigint").alias("edge_idx"),
+                F.lit(f"{steps[i - 1]}->{s}").alias("edge"),
+                F.count(F.lit(1)).alias("n_users"),
+                F.round(F.percentile("_lat", F.lit(0.5)), 3).alias("p50_s"),
+                F.round(F.percentile("_lat", F.lit(0.9)), 3).alias("p90_s"),
+                F.round(F.avg("_lat"), 3).alias("avg_s"),
+            )
+        )
+        reached = nxt.select("_u", F.col("_t2").alias("_t"))
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out

@@ -4792,6 +4792,46 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "funnel_latency",
+    """
+    WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s0.t) AS tp
+           FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(s1.t2) AS tp
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t2 GROUP BY 1),
+    l1 AS (SELECT (t2 - tp) / 1e6 AS lat FROM s1),
+    l2 AS (SELECT (t2 - tp) / 1e6 AS lat FROM s2)
+    SELECT CAST(1 AS BIGINT) AS edge_idx, 'view->click' AS edge,
+           CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(lat, 0.5), 3) AS p50_s,
+           ROUND(quantile_cont(lat, 0.9), 3) AS p90_s,
+           ROUND(avg(lat), 3) AS avg_s
+    FROM l1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click->purchase', CAST(count(*) AS BIGINT),
+           ROUND(quantile_cont(lat, 0.5), 3), ROUND(quantile_cont(lat, 0.9), 3),
+           ROUND(avg(lat), 3)
+    FROM l2
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext funnel time-to-convert (view → click → purchase): per edge the
+    exact p50/p90/mean seconds between a user's earliest consecutive step
+    completions — the latency half of funnel_conversion's reach report.
+    Same join/min ladder; percentiles run over the shrinking per-user edge
+    frame only."""
+    from .operators.aggregates import funnel_latencies
+
+    return funnel_latencies(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+@_q(
     "cohort_retention",
     """
     WITH ev AS (SELECT DISTINCT user_id,
@@ -5364,6 +5404,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "funnel_latency",
     "ann_sq8_audit",
     "text_heldout_logprob",
     "ann_range_search",

@@ -403,3 +403,26 @@ def test_key_skew_audit_hot_key_histogram(spark):
     assert (h.n_keys, h.n_rows, h.max_c) == (5, 10, 2)
     assert (h.p50_c, h.p90_c, h.p99_c) == (2, 2, 2)
     assert h.max_share == 0.2
+
+
+def test_funnel_latencies_per_edge_percentiles(spark):
+    from datetime import datetime
+
+    from opentelemetry_collector_spark.operators.aggregates import funnel_latencies
+
+    T = lambda m: datetime(2025, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, T(0), "view"), (1, T(10), "click"), (1, T(40), "purchase"),
+        (2, T(0), "view"), (2, T(20), "click"),
+        (3, T(5), "click"),                       # no view: not in funnel
+        (4, T(0), "click"), (4, T(10), "view"), (4, T(30), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.edge: r for r in funnel_latencies(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    e1 = out["view->click"]
+    # u1 600s, u2 1200s, u4 1200s (pre-view click at T(0) ignored)
+    assert e1.n_users == 3 and e1.p50_s == 1200.0 and e1.avg_s == 1000.0
+    e2 = out["click->purchase"]
+    assert e2.n_users == 1 and e2.p50_s == 1800.0 == e2.p90_s == e2.avg_s
