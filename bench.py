@@ -138,6 +138,8 @@ HEADLINE = [
     "text_heldout_logprob",
     "ann_sq8_audit",
     "funnel_latency",
+    "events_cooccurrence_lift",
+    "events_hourly_profile",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

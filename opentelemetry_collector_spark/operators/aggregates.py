@@ -414,3 +414,96 @@ def funnel_latencies(
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+def cooccurrence_lift(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Market-basket co-occurrence with lift over (basket, item) pairs:
+    for every unordered item pair, the number of baskets containing BOTH
+    and lift = P(a∧b)/(P(a)·P(b)) — the unordered complement to
+    :func:`transition_matrix` (which orders by time).  Lift > 1 = the
+    event types travel together across users; the signal behind alert
+    correlation and "users who did X also did Y".
+
+    Scale shape: after ``distinct (basket, item)`` an item's multiplicity
+    per basket is 1, so the per-basket self-join fans out ≤ #items² per
+    basket no matter how active the basket — the same bounded-fan-out
+    argument as source_fingerprint_overlap.  Marginals are an #items-row
+    broadcast; the basket total is the 1-row broadcast scalar.
+
+    Returns (item_a, item_b, n_both, lift)."""
+    d = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    pairs = (
+        d.alias("x")
+        .join(d.alias("y"), "_b")
+        .filter(F.col("x._i") < F.col("y._i"))
+        .select(F.col("x._i").alias("item_a"), F.col("y._i").alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = d.groupBy(F.col("_i")).agg(F.count(F.lit(1)).alias("_n"))
+    total = d.select("_b").distinct().agg(F.count(F.lit(1)).alias("_nb"))
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("_i").alias("item_a"), F.col("_n").alias("_na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("_i").alias("item_b"), F.col("_n").alias("_nc"))),
+            "item_b",
+        )
+        .join(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") * F.col("_nb")
+                / (F.col("_na") * F.col("_nc")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def hourly_profile(df: DataFrame, group_col: str, ts_col: str) -> DataFrame:
+    """Hour-of-day seasonality profile per group: total volume, the peak
+    hour (smallest hour on ties — deterministic across engines, unlike
+    arg_max), its share, and the χ² statistic against a uniform 24-hour
+    profile — large χ² = strongly diurnal traffic (batch jobs, business
+    hours), χ² ≈ 0 = flat (machine noise).  The seasonality complement to
+    the trailing-window burst detector: bursts find anomalies, this finds
+    the baseline shape they must be judged against.
+
+    χ² folds algebraically to 24·Σc²/T − T (Σ(c−e)²/e with e = T/24 and
+    the zero-count hours' contribution absorbed), so the whole statistic
+    comes from the same (group, hour) count table — two cascaded map-side-
+    combinable aggregates over ≤ 24 rows per group, plus an equi-join of
+    two #groups-sized frames for the deterministic peak pick."""
+    hc = df.groupBy(
+        F.col(group_col), F.hour(F.col(ts_col)).alias("_h")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg1 = hc.groupBy(group_col).agg(
+        F.sum("_c").alias("n"),
+        F.max("_c").alias("_mx"),
+        F.sum(F.col("_c").cast("double") * F.col("_c")).alias("_ss"),
+    )
+    peak = (
+        hc.join(F.broadcast(agg1.select(group_col, "_mx")), group_col)
+        .filter(F.col("_c") == F.col("_mx"))
+        .groupBy(group_col)
+        .agg(F.min("_h").alias("peak_hour"))
+    )
+    return (
+        agg1.join(peak, group_col)
+        .select(
+            group_col,
+            "n",
+            "peak_hour",
+            F.round(F.col("_mx").cast("double") / F.col("n"), 6).alias("peak_share"),
+            F.round(
+                F.lit(24.0) * F.col("_ss") / F.col("n") - F.col("n"), 4
+            ).alias("chi2_uniform"),
+        )
+    )

@@ -4792,6 +4792,63 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_hourly_profile",
+    """
+    WITH hc AS (SELECT event_type, hour(ts) AS h, count(*) AS c
+                FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, sum(c) AS n, max(c) AS mx,
+                 sum(CAST(c AS DOUBLE) * c) AS ss
+          FROM hc GROUP BY 1),
+    p AS (SELECT hc.event_type, min(hc.h) AS peak_hour
+          FROM hc JOIN a USING (event_type)
+          WHERE hc.c = a.mx GROUP BY 1)
+    SELECT a.event_type, CAST(a.n AS BIGINT) AS n, p.peak_hour,
+           ROUND(CAST(a.mx AS DOUBLE) / a.n, 6) AS peak_share,
+           ROUND(24.0 * a.ss / a.n - a.n, 4) AS chi2_uniform
+    FROM a JOIN p USING (event_type)
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext hour-of-day seasonality audit per event type: volume, peak
+    hour (min-hour tie-break — deterministic, unlike arg_max), peak share,
+    and χ² against a uniform 24-hour profile (folded to 24·Σc²/T − T so
+    zero-count hours need no special casing).  Two cascaded combinable
+    aggregates over the tiny (type, hour) table — the baseline-shape
+    complement to log_error_burst's trailing z-score."""
+    from .operators.aggregates import hourly_profile
+
+    return hourly_profile(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+@_q(
+    "events_cooccurrence_lift",
+    """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+                 count(*) AS n_both
+          FROM d x JOIN d y USING (user_id)
+          WHERE x.event_type < y.event_type
+          GROUP BY 1, 2),
+    m AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT count(DISTINCT user_id) AS nb FROM d)
+    SELECT p.item_a, p.item_b, CAST(p.n_both AS BIGINT) AS n_both,
+           ROUND(CAST(p.n_both AS DOUBLE) * t.nb / (ma.n * mb.n), 6) AS lift
+    FROM p JOIN m ma ON ma.event_type = p.item_a
+           JOIN m mb ON mb.event_type = p.item_b, t
+    """,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext market-basket co-occurrence lift over (user, event_type)
+    baskets — the unordered complement to event_transition_matrix ("types
+    that travel together" vs "types that follow each other").  distinct
+    (user, type) bounds the per-user self-join fan-out at #types²; the
+    marginals broadcast and the basket total is the 1-row scalar."""
+    from .operators.aggregates import cooccurrence_lift
+
+    return cooccurrence_lift(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+@_q(
     "funnel_latency",
     """
     WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
@@ -5404,6 +5461,8 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "events_hourly_profile",
+    "events_cooccurrence_lift",
     "funnel_latency",
     "ann_sq8_audit",
     "text_heldout_logprob",

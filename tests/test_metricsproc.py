@@ -426,3 +426,36 @@ def test_funnel_latencies_per_edge_percentiles(spark):
     assert e1.n_users == 3 and e1.p50_s == 1200.0 and e1.avg_s == 1000.0
     e2 = out["click->purchase"]
     assert e2.n_users == 1 and e2.p50_s == 1800.0 == e2.p90_s == e2.avg_s
+
+
+def test_cooccurrence_lift_values(spark):
+    from opentelemetry_collector_spark.operators.aggregates import cooccurrence_lift
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r.item_a, r.item_b): r for r in cooccurrence_lift(
+        df, "user_id", "event_type"
+    ).collect()}
+    # only a+b co-occur; duplicates within a basket count once
+    assert set(out) == {("a", "b")}
+    ab = out[("a", "b")]
+    # n_both=2, N=4 baskets, n_a=3, n_b=2 -> lift = 2*4/(3*2)
+    assert ab.n_both == 2 and ab.lift == round(8 / 6, 6)
+
+
+def test_hourly_profile_chi2_and_peak(spark):
+    from datetime import datetime
+
+    from opentelemetry_collector_spark.operators.aggregates import hourly_profile
+
+    rows = [(datetime(2025, 1, 1, 3, i), "x") for i in range(24)]       # all hour 3
+    rows += [(datetime(2025, 1, 1, h, 0), "y") for h in range(24)]      # flat
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r.event_type: r for r in hourly_profile(df, "event_type", "ts").collect()}
+    x = out["x"]
+    # fully concentrated: chi2 = 24*24^2/24 - 24 = 552
+    assert (x.n, x.peak_hour, x.peak_share, x.chi2_uniform) == (24, 3, 1.0, 552.0)
+    y = out["y"]
+    # perfectly uniform: chi2 = 0; peak tie resolves to the smallest hour
+    assert (y.n, y.peak_hour, y.chi2_uniform) == (24, 0, 0.0)
+    assert y.peak_share == round(1 / 24, 6)

@@ -185,6 +185,9 @@ _NESTED_LOOP_OK = {
     "text_bm25_topk",         # (N, avgdl) corpus scalars: 1-row broadcast into hit stream
     "token_kl_by_source",     # grand-total scalar: 1-row broadcast into vocab-sized frame
     "token_pmi_topk",         # bigram-total scalar: 1-row broadcast into vocab-sized frame
+    "ann_range_search",       # brute-force baseline: broadcast queries × all vectors
+    "text_heldout_logprob",   # train-corpus-total scalar: 1-row broadcast into eval frame
+    "events_cooccurrence_lift",  # basket-total scalar: 1-row broadcast into pair frame
 }
 
 
