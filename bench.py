@@ -140,6 +140,7 @@ HEADLINE = [
     "funnel_latency",
     "events_cooccurrence_lift",
     "events_hourly_profile",
+    "join_range_bucketed",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

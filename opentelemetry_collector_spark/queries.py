@@ -4792,6 +4792,60 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "join_range_bucketed",
+    """
+    WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type FROM events),
+    hb AS (SELECT ts_us // 3600000000 AS hb, count(*) AS c
+           FROM ev WHERE event_type = 'error' GROUP BY 1),
+    iv AS (SELECT CAST(hb * 3600000000 AS BIGINT) AS iv_id,
+                  hb * 3600000000 - 300000000 AS lo,
+                  hb * 3600000000 + 3900000000 AS hi
+           FROM hb WHERE c >= 8),
+    j AS (SELECT iv.iv_id, ev.event_type
+          FROM ev JOIN iv ON ev.ts_us BETWEEN iv.lo AND iv.hi)
+    SELECT iv_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM j GROUP BY iv_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-ext interval-containment (range) join, bucketized: incident
+    windows = error-hot hours padded ±5 min (so the interval is NOT
+    bucket-aligned), joined to ALL events whose timestamp falls inside —
+    via interval→bucket explode + EQUI-join on the bucket + exact codegen
+    containment filter, the scalable alternative to the
+    BroadcastNestedLoopJoin a naive theta join produces (the oracle runs
+    the theta form; the engine runs the bucketized form — identical
+    output).  Per-window event/type/error counts."""
+    from .operators.asof import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "event_type",
+    )
+    B = 3_600_000_000
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.floor(F.col("ts_us") / F.lit(B)).alias("_hb"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 8)
+        .select(
+            (F.col("_hb") * B).cast("bigint").alias("iv_id"),
+            (F.col("_hb") * B - 300_000_000).alias("lo"),
+            (F.col("_hb") * B + 3_900_000_000).alias("hi"),
+        )
+    )
+    j = interval_join_bucketed(ev, iv, "ts_us", "iv_id", "lo", "hi", bucket_us=B)
+    return j.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_errors"),
+    )
+
+
+@_q(
     "events_hourly_profile",
     """
     WITH hc AS (SELECT event_type, hour(ts) AS h, count(*) AS c
@@ -5461,6 +5515,7 @@ _DRIVER_PRIORITY = [
     # changed this round, then new keys, then re-confirmations oldest-green-
     # first (the r02 tail — 2 rounds stale, due for re-confirmation).
     # (a) never-green: registered mid-round-5, no driver row yet
+    "join_range_bucketed",
     "events_hourly_profile",
     "events_cooccurrence_lift",
     "funnel_latency",

@@ -96,3 +96,26 @@ def test_asof_null_right_ts_never_matches(spark):
     only_null = right.filter(F.col("v") == 99)
     got2 = asof_join(left, only_null, on="k").collect()
     assert got2[0].r_v is None
+
+
+def test_interval_join_bucketed_exact_containment(spark):
+    from opentelemetry_collector_spark.operators.asof import interval_join_bucketed
+
+    B = 100  # tiny buckets so intervals span several
+    ev = spark.createDataFrame(
+        [(0, 49), (1, 150), (2, 250), (3, 251), (4, 999)],
+        "eid long, ts_us long",
+    )
+    iv = spark.createDataFrame(
+        [(10, 50, 250),    # spans buckets 0..2, boundaries inclusive
+         (20, 240, 260)],  # overlaps the first
+        "iv_id long, lo long, hi long",
+    )
+    out = [(r.eid, r.iv_id) for r in interval_join_bucketed(
+        ev, iv, "ts_us", "iv_id", "lo", "hi", bucket_us=B
+    ).collect()]
+    assert sorted(out) == [(1, 10), (2, 10), (2, 20), (3, 20)]
+    # equi-join on the bucket, not a nested-loop theta join
+    plan = interval_join_bucketed(ev, iv, "ts_us", "iv_id", "lo", "hi", bucket_us=B) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
