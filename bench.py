@@ -141,6 +141,9 @@ HEADLINE = [
     "events_cooccurrence_lift",
     "events_hourly_profile",
     "join_range_bucketed",
+    "sample_priority",
+    "mixture_interleave",
+    "graph_pagerank",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -93,3 +93,82 @@ def connected_components(
             "(pointer jumping needs ~log2(diameter) rounds — raise max_iters)"
         )
     return labels.select("node", "comp")
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank with INTEGER-quantized ranks —
+    the general iterative-graph computation the near-dup components above
+    specialize (service-importance over a call graph, type-importance over
+    an event transition graph).
+
+    The recurrence is DEFINED over integers (the same trick as the
+    IVF trainer's integer-quantized Lloyd steps): ranks start at
+    ``scale``; each round every edge (s→d, w) contributes
+    ``(damping_pct · r_s · w) div (100 · outw_s)`` and
+    ``r'_d = ((100−damping_pct)·scale) div 100 + Σ contribs``.  Integer
+    sums are order-independent, so the result is bit-exact at any
+    parallelism and in any engine — no float-summation-order drift, which
+    is what makes a value-checked oracle possible for an iterative
+    algorithm.  (Bound: ``damping_pct · r · w`` must stay < 2⁶³ — with
+    the default scale, safe for total graph mass ·max edge weight up to
+    ~10¹¹.)  Dangling nodes simply don't distribute (their mass tele-
+    ports); the teleport term is per-node constant, i.e. the standard
+    un-normalized PageRank variant.
+
+    Scale shape: edges (with their src out-weight attached) are
+    repartitioned by src ONCE and persisted — every iteration reuses that
+    co-location, so the per-round cost is one shuffle of the #nodes-sized
+    rank frame to the edge partitions plus one combinable groupBy(dst);
+    ranks are eagerly ``localCheckpoint``-ed per round to keep the plan
+    bounded (on a real cluster: ``.checkpoint()`` to durable storage).
+    Rounds are fixed (``iters``), the standard practice for ranking use
+    (convergence-δ loops add a driver round-trip per round for little
+    gain at damping 0.85).
+
+    Returns (node, rank_int, rank = rank_int/scale)."""
+    w_expr = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w_expr.alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = e.join(outw, "src").repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base = ((100 - damping_pct) * scale) // 100
+    ranks = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
+    contrib_expr = F.expr(f"({damping_pct} * r * w) div (100 * ow)")
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select("dst", contrib_expr.alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_cin"))
+        )
+        ranks = (
+            nodes.join(contrib.select(F.col("dst").alias("node"), "_cin"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("_cin", F.lit(0))).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select(
+        "node",
+        F.col("r").alias("rank_int"),
+        F.round(F.col("r") / F.lit(float(scale)), 6).alias("rank"),
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

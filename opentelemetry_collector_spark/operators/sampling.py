@@ -502,6 +502,130 @@ def epoch_plan(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Priority sampling (Duffield/Lund/Thorup, JACM 2007, public):
+    weight-sensitive sampling WITHOUT replacement with an unbiased
+    subset-sum estimator — the principled "keep k docs, long docs more
+    likely, and still estimate total tokens from the sample" cut that
+    neither :func:`uniform_topk_sample` (weight-blind) nor
+    :func:`probabilistic_sample` (fraction, not count) gives.
+
+    Per row: u = (h+1)/2³¹ from the portable affine hash of the id
+    (deterministic — same sample on every rerun, engine, and cluster
+    size), priority q = w/u; keep the k LARGEST priorities; with
+    τ = the (k+1)-th priority, the estimator ŵ = max(w, τ) is unbiased
+    for any subset-sum of the weights.  q is computed as
+    ``w * 2³¹ / (h+1)`` — one IEEE multiply + one IEEE divide, both
+    correctly rounded, so an independent engine reproduces the exact
+    same doubles and the exact same kept set (no transcendental in the
+    key, unlike the exp-jump form of Efraimidis–Spirakis).
+
+    Scale shape: ``orderBy(q desc).limit(k+1)`` compiles to
+    TakeOrderedAndProject — each task keeps its own k+1 largest and only
+    k+1 rows per partition ever leave the scan; τ and the rank then run
+    on a (k+1)-row frame on one task.  No global sort, no shuffle of the
+    input.
+
+    Returns (id, weight, priority, est_weight) — Σ est_weight ≈ Σ w."""
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(2147483648),
+    )
+    q = (
+        F.col(weight_col).cast("double")
+        * F.lit(2147483648.0)
+        / (h + F.lit(1)).cast("double")
+    )
+    top = (
+        df.select(F.col(id_col), F.col(weight_col).alias("weight"), q.alias("_q"))
+        .orderBy(F.desc("_q"), id_col)
+        .limit(k + 1)
+    )
+    w_rank = Window.orderBy(F.desc("_q"), id_col)
+    ranked = top.withColumn("_rn", F.row_number().over(w_rank))
+    tau = ranked.filter(F.col("_rn") == k + 1).select(F.col("_q").alias("_tau"))
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col(id_col),
+            "weight",
+            F.round("_q", 6).alias("priority"),
+            F.round(
+                F.greatest(F.col("weight").cast("double"), F.col("_tau")), 6
+            ).alias("est_weight"),
+        )
+    )
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    pos_col: str = "interleave_pos",
+) -> DataFrame:
+    """Deterministic weighted source-INTERLEAVE order (engine extension):
+    the global training-loader order in which a mixture is actually fed to
+    a trainer — every prefix of the output order contains each source in
+    ≈ its mixture proportion (the `interleave_datasets`-style contract,
+    stated engine-side as a total order instead of an iterator).
+
+    Construction (pure function of (id, weights) — rerun/engine/cluster-
+    size stable): within each stratum docs take their deterministic
+    portable-hash order and the i-th doc (0-based) of stratum s lands at
+    slot ``(i+1)/w_s`` (one IEEE divide — exactly reproducible in any
+    engine); the global order is (slot, stratum, id) and the output
+    position is its 0-based global rank.  A stratum with weight w gets
+    every ⌈1/w⌉-th slot, so sources interleave smoothly rather than in
+    blocks — unlike a sort by (epoch, source) — and strata absent from
+    ``weights`` are dropped (weight-0 contract of
+    :func:`epoch_replicate`).
+
+    Plan — the 100 TB shape: TWO two-phase global prefix sums
+    (:func:`packing._global_prefix_sum` — range shuffle + broadcast
+    offsets each; never a per-stratum or global one-partition Window):
+    one over (stratum, bucket, id) for the within-stratum index, one over
+    (slot, stratum, id) for the global rank; the per-stratum start
+    offsets are a #strata-row broadcast.
+
+    Returns (pos_col, id, stratum, slot)."""
+    from .packing import _global_prefix_sum
+
+    base = df.select(
+        F.col(strata_col), F.col(id_col), portable_bucket(F.col(id_col), NUM_SAMPLER_BUCKETS).alias("_bk")
+    ).withColumn("_one", F.lit(1).cast("bigint"))
+    pre = _global_prefix_sum(base, [strata_col, "_bk", id_col], "_one", "_goff")
+    off_w = Window.orderBy(strata_col).rowsBetween(Window.unboundedPreceding, -1)
+    starts = (
+        base.groupBy(strata_col)
+        .agg(F.sum("_one").alias("_n"))
+        .select(strata_col, F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_s0"))
+    )
+    w_expr = F.lit(None).cast("double")
+    for value, w in sorted(weights.items()):
+        if w <= 0:
+            raise ValueError(f"interleave weight for {value!r} must be > 0, got {w}")
+        w_expr = F.when(F.col(strata_col) == F.lit(value), F.lit(float(w))).otherwise(w_expr)
+    slotted = (
+        pre.join(F.broadcast(starts), strata_col)
+        .withColumn("_i", F.col("_goff") - F.col("_s0"))
+        .withColumn("_w", w_expr)
+        .filter(F.col("_w").isNotNull())
+        .withColumn("_slot", (F.col("_i") + F.lit(1)).cast("double") / F.col("_w"))
+        .select(strata_col, id_col, "_one", "_slot")
+    )
+    ranked = _global_prefix_sum(slotted, ["_slot", strata_col, id_col], "_one", pos_col)
+    return ranked.select(
+        F.col(pos_col), F.col(id_col), F.col(strata_col), F.round("_slot", 6).alias("slot")
+    )
+
+
 def uniform_topk_sample(
     df: DataFrame, id_col: str, k: int = 100, keep: list[str] | None = None
 ) -> DataFrame:

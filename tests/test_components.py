@@ -57,3 +57,61 @@ def test_unconverged_raises_instead_of_wrong_labels(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iters=2)
+
+
+# --- fixed-iteration integer PageRank ----------------------------------------
+
+
+def _pr_ref(edges, iters=5, scale=1_000_000, damp=85):
+    """Sequential scalar replica of the integer recurrence."""
+    outw = {}
+    for s, _d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    base = (100 - damp) * scale // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for s, d, w in edges:
+            nxt[d] += (damp * r[s] * w) // (100 * outw[s])
+        r = nxt
+    return r
+
+
+def _pr(spark, edges, **kw):
+    from opentelemetry_collector_spark.operators.components import pagerank_fixed
+
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    return {
+        r.node: r.rank_int for r in pagerank_fixed(df, "src", "dst", "w", **kw).collect()
+    }
+
+
+def test_pagerank_matches_scalar_replica(spark):
+    edges = [("a", "b", 3), ("b", "a", 1), ("a", "c", 1), ("c", "b", 2),
+             ("d", "a", 5), ("b", "d", 1)]
+    assert _pr(spark, edges) == _pr_ref(edges)
+
+
+def test_pagerank_symmetric_cycle_equal_ranks(spark):
+    got = _pr(spark, [("x", "y", 1), ("y", "x", 1)])
+    assert got["x"] == got["y"]
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    edges = [(f"leaf{i}", "hub", 1) for i in range(6)]
+    got = _pr(spark, edges)
+    assert got["hub"] > got["leaf0"]
+    # leaves have no in-edges: rank settles at the teleport base
+    assert got["leaf0"] == 150000
+
+
+def test_pagerank_deterministic_under_partitioning(spark):
+    from opentelemetry_collector_spark.operators.components import pagerank_fixed
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}", 1 + i % 4) for i in range(50)]
+    a = spark.createDataFrame(edges, "src string, dst string, w long").coalesce(1)
+    b = spark.createDataFrame(edges, "src string, dst string, w long").repartition(16)
+    ra = {r.node: r.rank_int for r in pagerank_fixed(a, "src", "dst", "w").collect()}
+    rb = {r.node: r.rank_int for r in pagerank_fixed(b, "src", "dst", "w").collect()}
+    assert ra == rb == _pr_ref(edges)

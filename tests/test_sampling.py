@@ -421,3 +421,120 @@ def test_uniform_topk_sample_exact_k_deterministic_plan(spark):
     # global top-k without a global sort: TakeOrderedAndProject, no Exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- priority sampling (Duffield/Lund/Thorup 2007) ---------------------------
+
+
+def _prio_ref(ids_weights, k):
+    """Independent scalar replica of the priority-sample recurrence (same
+    two IEEE ops — Python floats are the same doubles the JVM computes)."""
+    rows = []
+    for i, w in ids_weights:
+        h = ((i % 2147483648) * 2654435761) % 2147483648
+        rows.append((w * 2147483648.0 / (h + 1), i, w))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    tau = rows[k][0]
+    return {i: max(float(w), tau) for _, i, w in rows[:k]}, tau
+
+
+def test_priority_sample_matches_scalar_replica(spark):
+    from opentelemetry_collector_spark.operators.sampling import priority_sample
+
+    data = [(i, 1 + (i * 13) % 97) for i in range(500)]
+    df = spark.createDataFrame(data, "doc_id long, w long").repartition(8)
+    got = {
+        r.doc_id: r.est_weight
+        for r in priority_sample(df, "doc_id", "w", k=50).collect()
+    }
+    want, _tau = _prio_ref(data, 50)
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - round(want[i], 6)) < 1e-9
+
+
+def test_priority_sample_estimator_near_total(spark):
+    """Σ max(w, τ) over the sample is an unbiased estimator of Σw — on this
+    fixed fixture the single deterministic draw lands within 25 %."""
+    from opentelemetry_collector_spark.operators.sampling import priority_sample
+
+    data = [(i, 1 + (i * 7) % 50) for i in range(1000)]
+    df = spark.createDataFrame(data, "doc_id long, w long")
+    s = priority_sample(df, "doc_id", "w", k=100).agg(F.sum("est_weight")).collect()[0][0]
+    total = sum(w for _, w in data)
+    assert abs(s - total) / total < 0.25
+
+
+def test_priority_sample_deterministic_under_partitioning(spark):
+    from opentelemetry_collector_spark.operators.sampling import priority_sample
+
+    data = [(i, 1 + i % 9) for i in range(300)]
+    a = spark.createDataFrame(data, "doc_id long, w long").coalesce(1)
+    b = spark.createDataFrame(data, "doc_id long, w long").repartition(16)
+    ra = sorted(map(tuple, priority_sample(a, "doc_id", "w", k=40).collect()))
+    rb = sorted(map(tuple, priority_sample(b, "doc_id", "w", k=40).collect()))
+    assert ra == rb
+
+
+# --- weighted source interleave ----------------------------------------------
+
+
+def _interleave_ref(rows, weights):
+    """Scalar replica: per-source portable-bucket order, slot (i+1)/w,
+    global order (slot, source, id)."""
+    per = {}
+    for i, s in rows:
+        if s in weights:
+            bk = ((i % 100003) * 2654435761) % 16384
+            per.setdefault(s, []).append((bk, i))
+    out = []
+    for s, lst in per.items():
+        lst.sort()
+        for ix, (_bk, i) in enumerate(lst):
+            out.append(((ix + 1) / weights[s], s, i))
+    out.sort()
+    return [(pos, i, s) for pos, (_slot, s, i) in enumerate(out)]
+
+
+def test_interleave_matches_scalar_replica(spark):
+    from opentelemetry_collector_spark.operators.sampling import interleave_by_weight
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    w = {"s0": 0.5, "s1": 0.25, "s2": 0.25}  # s3 dropped
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    got = [
+        (r.interleave_pos, r.doc_id, r.source)
+        for r in interleave_by_weight(df, "source", "doc_id", w)
+        .orderBy("interleave_pos")
+        .collect()
+    ]
+    assert got == _interleave_ref(rows, w)
+
+
+def test_interleave_prefix_holds_mixture_shares(spark):
+    """Any prefix of the interleave order contains each source in ≈ its
+    weight share (the property a sort-by-source order lacks entirely)."""
+    from opentelemetry_collector_spark.operators.sampling import interleave_by_weight
+
+    rows = [(i, f"s{i % 2}") for i in range(400)]
+    w = {"s0": 0.75, "s1": 0.25}
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    first = (
+        interleave_by_weight(df, "source", "doc_id", w)
+        .filter(F.col("interleave_pos") < 100)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    counts = {r.source: r["count"] for r in first}
+    assert abs(counts["s0"] - 75) <= 2 and abs(counts["s1"] - 25) <= 2
+
+
+def test_interleave_rejects_nonpositive_weight(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.sampling import interleave_by_weight
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="must be > 0"):
+        interleave_by_weight(df, "source", "doc_id", {"a": 0.0})
