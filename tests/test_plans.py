@@ -188,6 +188,7 @@ _NESTED_LOOP_OK = {
     "ann_range_search",       # brute-force baseline: broadcast queries × all vectors
     "text_heldout_logprob",   # train-corpus-total scalar: 1-row broadcast into eval frame
     "events_cooccurrence_lift",  # basket-total scalar: 1-row broadcast into pair frame
+    "sample_priority",        # τ = (k+1)-th priority: 1-row broadcast into the k kept rows
 }
 
 
