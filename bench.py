@@ -144,6 +144,7 @@ HEADLINE = [
     "sample_priority",
     "mixture_interleave",
     "graph_pagerank",
+    "sketch_countmin_audit",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

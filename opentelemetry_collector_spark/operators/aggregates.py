@@ -507,3 +507,71 @@ def hourly_profile(df: DataFrame, group_col: str, ts_col: str) -> DataFrame:
             ).alias("chi2_uniform"),
         )
     )
+
+
+def countmin_audit(
+    df: DataFrame,
+    text_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch (Cormode/Muthukrishnan 2005, public) with an
+    exactness audit: build the d×w sketch over the corpus token stream,
+    then report, for the k most frequent tokens, the exact count next to
+    the sketch estimate and the (provably ≥ 0) overcount — the mergeable-
+    sketch companion to the HLL and KLL audits (`approx_distinct_audit`,
+    `approx_quantile_audit`), for the frequency side.
+
+    Hash family: bucket_j(tok) = int(md5("j:" ++ tok)[:12 hex]) mod w —
+    portable (md5 and hex→int exist in any engine), deterministic, and
+    row-independent, so the whole audit value-checks exactly instead of
+    through an ok-bit.
+
+    Scale shape: cells[j][b] = Σ_{tok: h_j(tok)=b} freq(tok) is computed
+    from the VOCAB table (one corpus explode → map-side-combinable token
+    counts), which is mathematically identical to sketching the raw
+    stream but shuffles vocabulary-sized rows, not corpus-sized; at
+    100 TB the exact side disappears and the d×w cells build directly
+    from the stream with ONE combinable aggregate (each executor holds a
+    d×w integer grid — that is the entire point of the sketch).  The
+    sketch table is d·w rows (4096 default) and broadcasts; the top-k
+    probe frame is k·d rows.  The vocab frame is persisted (three
+    consumers: d cell aggregates share it, plus the top-k cut) —
+    caller-owned lifetime, same contract as the textstats vocab caches.
+
+    Returns (tok, n_exact, n_est, overcount) with n_est ≥ n_exact always
+    (CM never undercounts) and E[overcount] ≤ total_tokens/width."""
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+
+    def bucket(j: int, col):
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 12), 16, 10)
+        return F.pmod(h.cast("bigint"), F.lit(width))
+
+    cells = None
+    for j in range(depth):
+        cj = (
+            vocab.groupBy(bucket(j, F.col("tok")).alias("b"))
+            .agg(F.sum("c").alias("cell"))
+            .withColumn("j", F.lit(j))
+        )
+        cells = cj if cells is None else cells.unionByName(cj)
+    top = vocab.orderBy(F.desc("c"), F.asc("tok")).limit(k)
+    probes = None
+    for j in range(depth):
+        pj = top.select(
+            "tok", "c", F.lit(j).alias("j"), bucket(j, F.col("tok")).alias("b")
+        )
+        probes = pj if probes is None else probes.unionByName(pj)
+    est = (
+        cells.join(F.broadcast(probes), ["j", "b"])
+        .groupBy("tok", "c")
+        .agg(F.min("cell").alias("n_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("c").alias("n_exact"),
+        "n_est",
+        (F.col("n_est") - F.col("c")).alias("overcount"),
+    )

@@ -5591,6 +5591,41 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
     """
 
 
+@_q(
+    "sketch_countmin_audit",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+    jj AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS x(j)),
+    cells AS (SELECT jj.j,
+                     ('0x' || substr(md5(jj.j || ':' || v.tok), 1, 12))::BIGINT
+                       % 1024 AS b,
+                     CAST(sum(v.c) AS BIGINT) AS cell
+              FROM v, jj GROUP BY 1, 2),
+    top AS (SELECT tok, c FROM v ORDER BY c DESC, tok LIMIT 20),
+    est AS (SELECT top.tok, top.c, min(cells.cell) AS n_est
+            FROM top, jj
+            JOIN cells ON cells.j = jj.j
+             AND cells.b = ('0x' || substr(md5(jj.j || ':' || top.tok), 1, 12))::BIGINT
+                             % 1024
+            GROUP BY 1, 2)
+    SELECT tok, c AS n_exact, CAST(n_est AS BIGINT) AS n_est,
+           CAST(n_est - c AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def sketch_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ext Count-Min sketch exactness audit: d=4 × w=1024 sketch over
+    the corpus token stream (portable md5 hash family), then exact count
+    vs sketch estimate vs overcount for the 20 hottest tokens — the
+    frequency-sketch companion to the HLL/KLL audits, fully value-checked
+    (no ok-bit).  Cells build from the vocab table (shuffle is vocab-
+    sized, never corpus-sized); the sketch is d·w rows and broadcasts."""
+    from .operators.aggregates import countmin_audit
+
+    return countmin_audit(_t(spark, sf_dir, "documents"), "text")
+
+
 @_q("graph_pagerank", _pagerank_oracle_sql(5))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-ext fixed-iteration weighted PageRank over the event transition
@@ -5672,7 +5707,6 @@ _DRIVER_PRIORITY = [
     "token_kl_by_source",
     "text_winnowing_fingerprint",
     "contamination_matrix",
-    "dedup_cluster_sizes",
     # newest never-green (registered at round close) slot in here, ahead of
     # the three oldest never-green keys below — those three carry the most
     # committed replica evidence (green in every full-gate sweep since the
@@ -5681,15 +5715,17 @@ _DRIVER_PRIORITY = [
     "sample_priority",
     "mixture_interleave",
     "graph_pagerank",
+    "sketch_countmin_audit",
     # (b) operator or oracle changed round 5
     "text_dup_spans",           # digest table df-capped (broadcast hot-set clamp)
     "text_dup_spans_removed",   # df cap + clean_text emission
     "corpus_prep_e2e",          # ladder grew the duplicate-span removal stage
     "chunk_token_stream",       # null-array guard moved before the prefix sum
     "text_repetition",          # let-bound arrays (pushed-filter O(n^2) fix)
-    # displaced past position 50 by the round-close keys above (the three
+    # displaced past position 50 by the round-close keys above (the four
     # oldest never-green — replica-green in every committed sweep since the
     # 122-key state, so the weakest claim on an official driver row):
+    "dedup_cluster_sizes",
     "text_pii_redact",
     "text_gopher_gates",
     "bpe_encode",

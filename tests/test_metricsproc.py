@@ -459,3 +459,29 @@ def test_hourly_profile_chi2_and_peak(spark):
     # perfectly uniform: chi2 = 0; peak tie resolves to the smallest hour
     assert (y.n, y.peak_hour, y.chi2_uniform) == (24, 0, 0.0)
     assert y.peak_share == round(1 / 24, 6)
+
+
+def test_countmin_never_undercounts_and_is_exact_when_wide(spark):
+    from opentelemetry_collector_spark.operators.aggregates import countmin_audit
+
+    rows = [(i, " ".join(f"w{j % 13}" for j in range(i, i + 12))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    narrow = countmin_audit(df, "text", depth=4, width=8, k=13).collect()
+    # CM structurally never undercounts
+    assert all(r.n_est >= r.n_exact and r.overcount == r.n_est - r.n_exact for r in narrow)
+    assert any(r.overcount > 0 for r in narrow)  # 13 tokens into 8 buckets MUST collide
+    wide = countmin_audit(df, "text", depth=4, width=4096, k=13).collect()
+    # 13 tokens into 4 independent 4096-bucket rows: min over rows is exact
+    assert all(r.overcount == 0 for r in wide)
+    assert len(wide) == 13
+
+
+def test_countmin_deterministic_under_partitioning(spark):
+    from opentelemetry_collector_spark.operators.aggregates import countmin_audit
+
+    rows = [(i, " ".join(f"t{(i * 7 + j) % 29}" for j in range(10))) for i in range(60)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    ra = sorted(map(tuple, countmin_audit(a, "text", width=64).collect()))
+    rb = sorted(map(tuple, countmin_audit(b, "text", width=64).collect()))
+    assert ra == rb
