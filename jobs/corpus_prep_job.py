@@ -17,6 +17,8 @@ composes them over a real table and commits the artifacts:
     <output>/kept/        surviving doc ids + split + source (parquet)
     <output>/packed/      packed sequences (pack_id, grp, tokens)
     <output>/stats/       per (split, source) packing statistics
+    <output>/order/       (--loader-order) deterministic weighted
+                          source-interleave position per train doc
     <output>/manifest.json  row counts + config, for resume/audit
 
 Like pipeline_job.py, the master comes from spark-submit — nothing here
@@ -57,6 +59,7 @@ def build(
     vocab: int = 50257,
     dsir_source: str | None = None,
     dsir_min: float = 0.0,
+    loader_order: bool = False,
 ) -> dict[str, DataFrame]:
     """Compose the ladder; returns {'kept', 'packed', 'stats'} DataFrames.
 
@@ -198,7 +201,33 @@ def build(
         "n_packs", "n_docs", "n_tok", "avg_fill",
     )
     kept_cols = ["doc_id", "source", "split"] + (["epoch"] if epochs else [])
-    return {"kept": split.select(*kept_cols), "packed": packed, "stats": stats}
+    out = {"kept": split.select(*kept_cols), "packed": packed, "stats": stats}
+
+    if loader_order:
+        # deterministic training-loader order over the train split (the
+        # oracle-checked mixture_interleave operator): every prefix of the
+        # emitted order holds each source in ≈ its weight share.  Weights =
+        # --mixture when given (pace the loader at the frozen mix), else
+        # equal per observed source (round-robin); the distinct-sources
+        # collect is #sources rows — config-sized, same bound as the
+        # mixture count.  Epoch copies order under their epoch-tagged id,
+        # so each copy gets its own slot.
+        from opentelemetry_collector_spark.operators.sampling import (
+            interleave_by_weight,
+        )
+
+        train = split.filter(F.col("split") == "train").select(
+            epoch_tag.alias("oid"), "source"
+        )
+        if mixture:
+            w = dict(mixture)
+        else:
+            srcs = [r.source for r in train.select("source").distinct().collect()]
+            w = {s: 1.0 for s in srcs}
+        out["order"] = interleave_by_weight(train, "source", "oid", w).select(
+            "interleave_pos", F.col("oid").alias("doc_id"), "source"
+        )
+    return out
 
 
 def main() -> None:
@@ -233,6 +262,11 @@ def main() -> None:
                     help="source name used as the in-domain exemplar for DSIR selection")
     ap.add_argument("--dsir-min", type=float, default=0.0,
                     help="keep docs with avg target-vs-corpus log-likelihood ratio >= this")
+    ap.add_argument("--loader-order", action="store_true",
+                    help="emit <output>/order/: deterministic weighted "
+                         "source-interleave position per train doc (the "
+                         "training-loader order; weights = --mixture when "
+                         "given, else round-robin per source)")
     args = ap.parse_args()
 
     spark = (
@@ -267,6 +301,7 @@ def main() -> None:
         epochs=json.loads(args.epochs) if args.epochs else None,
         dsir_source=args.dsir_source,
         dsir_min=args.dsir_min,
+        loader_order=args.loader_order,
     )
     counts = {}
     for name, df in out.items():

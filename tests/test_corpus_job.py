@@ -146,3 +146,51 @@ def test_log_insights_job_cli_writes_artifacts(tmp_path):
     assert manifest["outputs"]["cohorts"] >= 1
     assert manifest["outputs"]["dedup"] > 0
     assert set(manifest["outputs"]) == {"templates", "dedup", "bursts", "funnel", "cohorts"}
+
+
+def test_build_loader_order_train_interleave(spark):
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_prep_job import build
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    out = build(spark, corpus, bench, loader_order=True)
+    order = out["order"].orderBy("interleave_pos").collect()
+    train_ids = {str(r.doc_id) for r in out["kept"].collect() if r.split == "train"}
+    # positions are a contiguous 0..n-1 rank over exactly the train split
+    assert [r.interleave_pos for r in order] == list(range(len(order)))
+    assert {r.doc_id for r in order} == train_ids
+    # round-robin weights: no source may go silent for more than ~#sources
+    # consecutive positions (the property a sort-by-source order lacks)
+    srcs = [r.source for r in order]
+    n_src = len(set(srcs))
+    longest_gap = {s: 0 for s in set(srcs)}
+    last = {s: -1 for s in set(srcs)}
+    for i, s in enumerate(srcs):
+        last[s] = i
+    for s in set(srcs):
+        seen = [i for i, x in enumerate(srcs) if x == s]
+        gaps = [b - a for a, b in zip(seen, seen[1:])]
+        longest_gap[s] = max(gaps) if gaps else 0
+    assert all(g <= 2 * n_src for g in longest_gap.values()), longest_gap
+
+
+def test_build_loader_order_epoch_copies_get_distinct_slots(spark):
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_prep_job import build
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    out = build(
+        spark, corpus, bench,
+        mixture={"src0": 0.5, "src1": 0.5},
+        epochs={"src0": 2.0, "src1": 1.0},
+        loader_order=True,
+    )
+    order = out["order"].collect()
+    # epoch-tagged ids are unique and every train row gets exactly one slot
+    assert len({r.doc_id for r in order}) == len(order)
+    n_train = sum(1 for r in out["kept"].collect() if r.split == "train")
+    assert len(order) == n_train
