@@ -207,8 +207,12 @@ def build(
         # deterministic training-loader order over the train split (the
         # oracle-checked mixture_interleave operator): every prefix of the
         # emitted order holds each source in ≈ its weight share.  Weights =
-        # --mixture when given (pace the loader at the frozen mix), else
-        # equal per observed source (round-robin); the distinct-sources
+        # --mixture when given (pace the loader at the frozen mix;
+        # explicit-zero sources are dropped upstream by mixture_sample, so
+        # they are filtered here too rather than tripping the > 0 guard),
+        # else the REALIZED per-source train counts — so temperature-alpha
+        # and un-rebalanced skewed corpora interleave at their actual
+        # shares instead of a blocky round-robin.  The per-source count
         # collect is #sources rows — config-sized, same bound as the
         # mixture count.  Epoch copies order under their epoch-tagged id,
         # so each copy gets its own slot.
@@ -220,10 +224,12 @@ def build(
             epoch_tag.alias("oid"), "source"
         )
         if mixture:
-            w = dict(mixture)
+            w = {s: v for s, v in mixture.items() if v > 0}
         else:
-            srcs = [r.source for r in train.select("source").distinct().collect()]
-            w = {s: 1.0 for s in srcs}
+            w = {
+                r.source: float(r["count"])
+                for r in train.groupBy("source").count().collect()
+            }
         out["order"] = interleave_by_weight(train, "source", "oid", w).select(
             "interleave_pos", F.col("oid").alias("doc_id"), "source"
         )

@@ -529,13 +529,13 @@ def priority_sample(
     TakeOrderedAndProject — each task keeps its own k+1 largest and only
     k+1 rows per partition ever leave the scan; τ and the rank then run
     on a (k+1)-row frame on one task.  No global sort, no shuffle of the
-    input.
+    input.  Inputs with ≤ k rows return every row with est_weight = w
+    (τ undefined — the whole population is the sample, estimator exact).
+    Non-numeric string ids take ``portable_bucket``'s deterministic crc32
+    fallback instead of silently hashing to NULL.
 
     Returns (id, weight, priority, est_weight) — Σ est_weight ≈ Σ w."""
-    h = F.pmod(
-        F.pmod(F.col(id_col).cast("bigint"), F.lit(2147483648)) * F.lit(2654435761),
-        F.lit(2147483648),
-    )
+    h = portable_bucket(F.col(id_col), 2147483648, prime=2147483648)
     q = (
         F.col(weight_col).cast("double")
         * F.lit(2147483648.0)
@@ -548,7 +548,11 @@ def priority_sample(
     )
     w_rank = Window.orderBy(F.desc("_q"), id_col)
     ranked = top.withColumn("_rn", F.row_number().over(w_rank))
-    tau = ranked.filter(F.col("_rn") == k + 1).select(F.col("_q").alias("_tau"))
+    # always exactly 1 row (NULL τ when the input has ≤ k rows), so the
+    # broadcast cross join can never annihilate the kept set
+    tau = ranked.agg(
+        F.min(F.when(F.col("_rn") == k + 1, F.col("_q"))).alias("_tau")
+    )
     return (
         ranked.filter(F.col("_rn") <= k)
         .crossJoin(F.broadcast(tau))
@@ -557,7 +561,11 @@ def priority_sample(
             "weight",
             F.round("_q", 6).alias("priority"),
             F.round(
-                F.greatest(F.col("weight").cast("double"), F.col("_tau")), 6
+                F.greatest(
+                    F.col("weight").cast("double"),
+                    F.coalesce(F.col("_tau"), F.col("weight").cast("double")),
+                ),
+                6,
             ).alias("est_weight"),
         )
     )

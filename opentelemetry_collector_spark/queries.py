@@ -5503,9 +5503,11 @@ def servicegraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(n_chars AS DOUBLE) * 2147483648 / (hh + 1) AS q
           FROM h),
     r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM p),
-    t AS (SELECT q AS tau FROM r WHERE rn = 101)
+    t AS (SELECT min(CASE WHEN rn = 101 THEN q END) AS tau FROM r)
     SELECT doc_id, n_chars AS weight, ROUND(q, 6) AS priority,
-           ROUND(greatest(CAST(n_chars AS DOUBLE), t.tau), 6) AS est_weight
+           ROUND(greatest(CAST(n_chars AS DOUBLE),
+                          COALESCE(t.tau, CAST(n_chars AS DOUBLE))), 6)
+             AS est_weight
     FROM r, t WHERE rn <= 100
     """,
 )
@@ -5707,11 +5709,15 @@ _DRIVER_PRIORITY = [
     "token_kl_by_source",
     "text_winnowing_fingerprint",
     "contamination_matrix",
-    # newest never-green (registered at round close) slot in here, ahead of
-    # the three oldest never-green keys below — those three carry the most
-    # committed replica evidence (green in every full-gate sweep since the
-    # 122-key state), so they are the safest to displace past position 50;
-    # all round-5-CHANGED keys stay inside the window.
+    # DECLARED POLICY EXCEPTION for the 50-slot budget at round close: 54
+    # keys qualify for the window (48 never-DRIVER-green + 5 changed + the
+    # flagship), so four must sit past position 50.  The four round-close
+    # keys slot in here, displacing the four OLDEST never-driver-green keys
+    # below past the boundary — chosen because those four carry the most
+    # LOCAL-REPLICA evidence (value-checked green in every committed
+    # full-gate sweep since the 122-key state, `tools/check_oracle.py`),
+    # while the round-close keys have exactly one sweep each; all
+    # round-5-CHANGED keys stay inside the window.
     "sample_priority",
     "mixture_interleave",
     "graph_pagerank",

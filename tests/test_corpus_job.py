@@ -165,15 +165,14 @@ def test_build_loader_order_train_interleave(spark):
     # consecutive positions (the property a sort-by-source order lacks)
     srcs = [r.source for r in order]
     n_src = len(set(srcs))
-    longest_gap = {s: 0 for s in set(srcs)}
-    last = {s: -1 for s in set(srcs)}
-    for i, s in enumerate(srcs):
-        last[s] = i
+    longest_gap = {}
     for s in set(srcs):
         seen = [i for i, x in enumerate(srcs) if x == s]
         gaps = [b - a for a, b in zip(seen, seen[1:])]
         longest_gap[s] = max(gaps) if gaps else 0
-    assert all(g <= 2 * n_src for g in longest_gap.values()), longest_gap
+    # realized-count weights: a source's gap is ~total/count of that source;
+    # with the near-uniform sf0.001 sources that is ~#sources
+    assert all(g <= 3 * n_src for g in longest_gap.values()), longest_gap
 
 
 def test_build_loader_order_epoch_copies_get_distinct_slots(spark):

@@ -538,3 +538,32 @@ def test_interleave_rejects_nonpositive_weight(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError, match="must be > 0"):
         interleave_by_weight(df, "source", "doc_id", {"a": 0.0})
+
+
+def test_priority_sample_population_smaller_than_k_returns_all(spark):
+    """n <= k: the whole population IS the sample — tau undefined, every
+    row kept with est_weight = w (estimator exact, not an empty frame)."""
+    from opentelemetry_collector_spark.operators.sampling import priority_sample
+
+    data = [(i, 5 + i) for i in range(30)]
+    df = spark.createDataFrame(data, "doc_id long, w long")
+    got = priority_sample(df, "doc_id", "w", k=100).collect()
+    assert len(got) == 30
+    assert all(r.est_weight == float(r.weight) for r in got)
+    assert sum(r.est_weight for r in got) == sum(w for _, w in data)
+
+
+def test_priority_sample_string_ids_use_crc32_fallback(spark):
+    """Non-numeric string ids must hash deterministically (crc32 fallback),
+    not silently collapse to a NULL-priority first-k-by-id cut."""
+    from opentelemetry_collector_spark.operators.sampling import priority_sample
+
+    data = [(f"doc#{i}", 1 + i % 9) for i in range(200)]
+    df = spark.createDataFrame(data, "doc_id string, w long")
+    got = priority_sample(df, "doc_id", "w", k=50).collect()
+    assert len(got) == 50
+    assert all(r.priority is not None for r in got)
+    # weight-sensitive: the kept set must not be the 50 smallest ids
+    assert {r.doc_id for r in got} != {f"doc#{i}" for i in range(50)}
+    a = sorted(map(tuple, priority_sample(df.repartition(16), "doc_id", "w", k=50).collect()))
+    assert a == sorted(map(tuple, got))
