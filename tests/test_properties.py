@@ -394,3 +394,86 @@ def test_token_budget_sample_matches_python_takewhile(spark, rows, budget):
         }
         a_ids = {r[0] for r in only_a}
         assert got_a == {i: c for i, c in expect.items() if i in a_ids}
+
+
+# ---------------------------------------------------------------------------
+# priority sampling vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+_prio_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),   # id
+        st.integers(min_value=1, max_value=500),      # weight
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_prio_rows, k=st.integers(min_value=1, max_value=25))
+@SETTINGS
+def test_priority_sample_matches_python_reference(spark, rows, k):
+    from opentelemetry_collector_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id: r.est_weight for r in priority_sample(df, "doc_id", "w", k=k).collect()}
+
+    prio = []
+    for i, w in rows:
+        h = ((i % 2147483648) * 2654435761) % 2147483648
+        prio.append((w * 2147483648.0 / (h + 1), i, w))
+    prio.sort(key=lambda t: (-t[0], t[1]))
+    if len(prio) <= k:
+        want = {i: float(w) for _, i, w in prio}
+    else:
+        tau = prio[k][0]
+        want = {i: max(float(w), tau) for _, i, w in prio[:k]}
+    assert set(got) == set(want)
+    assert all(abs(got[i] - round(want[i], 6)) < 1e-9 for i in got)
+
+
+# ---------------------------------------------------------------------------
+# weighted interleave vs a pure-python reference
+# ---------------------------------------------------------------------------
+
+_inter_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),          # id
+        st.sampled_from(["a", "b", "c", "d"]),               # source
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(
+    rows=_inter_rows,
+    wa=st.sampled_from([0.5, 1.0, 2.0]),
+    wb=st.sampled_from([0.25, 1.0, 3.0]),
+)
+@SETTINGS
+def test_interleave_matches_python_reference_random(spark, rows, wa, wb):
+    from opentelemetry_collector_spark.operators.sampling import interleave_by_weight
+
+    weights = {"a": wa, "b": wb, "c": 1.0}  # "d" always dropped
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(5)
+    got = [
+        (r.interleave_pos, r.doc_id, r.source)
+        for r in interleave_by_weight(df, "source", "doc_id", weights)
+        .orderBy("interleave_pos")
+        .collect()
+    ]
+    per = {}
+    for i, s in rows:
+        if s in weights:
+            bk = ((i % 100003) * 2654435761) % 16384
+            per.setdefault(s, []).append((bk, i))
+    ref = []
+    for s, lst in per.items():
+        lst.sort()
+        for ix, (_bk, i) in enumerate(lst):
+            ref.append(((ix + 1) / weights[s], s, i))
+    ref.sort()
+    assert got == [(pos, i, s) for pos, (_sl, s, i) in enumerate(ref)]
