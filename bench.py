@@ -145,6 +145,7 @@ HEADLINE = [
     "mixture_interleave",
     "graph_pagerank",
     "sketch_countmin_audit",
+    "graph_label_propagation",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -172,3 +172,72 @@ def pagerank_fixed(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation (Raghavan et al. 2007,
+    public) with a deterministic tie-break — density-based community
+    detection, the third member of the graph family (components = pure
+    connectivity, PageRank = importance, LPA = communities: a bridge edge
+    joins two components but does NOT merge two communities).
+
+    Determinism (the property plain LPA lacks): labels start as node ids;
+    each round every node adopts the neighbor label with the LARGEST
+    incident weight sum, ties broken by SMALLEST label — an argmax over
+    integer sums, so the result is bit-exact at any parallelism and in any
+    engine, and an unrolled-CTE oracle can replay it.  Rounds are fixed
+    (``iters``; sync LPA can oscillate on bipartite-ish graphs, so a
+    convergence loop is deliberately NOT the contract — the round count
+    is).  Isolated nodes keep their own label.  Edges are treated as
+    undirected (symmetrized).
+
+    Scale shape: per round one equi-join of the #nodes-row label frame
+    against the symmetrized edge frame (repartitioned by node once,
+    persisted, reused) + a two-level combinable aggregate ((node, label)
+    weight sums → per-node max-struct argmax); labels eagerly
+    ``localCheckpoint``-ed per round.
+
+    Returns (node, community)."""
+    w_expr = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b"), w_expr.alias("w")
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .filter(F.col("a") != F.col("b"))
+        .repartition("b")
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(iters):
+        votes = (
+            und.join(labels.select(F.col("node").alias("b"), "lbl"), "b")
+            .groupBy(F.col("a").alias("node"), "lbl")
+            .agg(F.sum("w").alias("_sw"))
+        )
+        # argmax by (weight sum, then smallest label), type-generic: peak
+        # weight per node, then min label among the peak's ties — the same
+        # deterministic peak pick as aggregates.hourly_profile
+        peak = votes.groupBy("node").agg(F.max("_sw").alias("_mx"))
+        best = (
+            votes.join(peak, "node")
+            .filter(F.col("_sw") == F.col("_mx"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("_bl"))
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select("node", F.coalesce("_bl", F.col("node")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    out = labels.select("node", F.col("lbl").alias("community"))
+    und.unpersist()
+    nodes.unpersist()
+    return out

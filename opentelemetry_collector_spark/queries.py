@@ -5628,6 +5628,54 @@ def sketch_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_audit(_t(spark, sf_dir, "documents"), "text")
 
 
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    chain = ["l0 AS (SELECT node, node AS lbl FROM nd)"]
+    for k in range(1, iters + 1):
+        chain.append(
+            f"""v{k} AS (SELECT u.a AS node, p.lbl, sum(u.w) AS sw
+           FROM und u JOIN l{k - 1} p ON p.node = u.b GROUP BY 1, 2),
+    p{k} AS (SELECT node, max(sw) AS mx FROM v{k} GROUP BY 1),
+    b{k} AS (SELECT v.node, min(v.lbl) AS bl
+             FROM v{k} v JOIN p{k} ON p{k}.node = v.node AND v.sw = p{k}.mx
+             GROUP BY 1),
+    l{k} AS (SELECT n.node, COALESCE(b.bl, n.node) AS lbl
+             FROM nd n LEFT JOIN b{k} b USING (node))"""
+        )
+    its = ",\n    ".join(chain)
+    return f"""
+    WITH s AS (SELECT event_type AS cur,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    e0 AS (SELECT prev AS src, cur AS dst, CAST(count(*) AS BIGINT) AS w
+           FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+    und AS (SELECT src AS a, dst AS b, w FROM e0 WHERE src <> dst
+            UNION ALL
+            SELECT dst AS a, src AS b, w FROM e0 WHERE src <> dst),
+    nd AS (SELECT DISTINCT a AS node FROM und),
+    {its}
+    SELECT node, lbl AS community FROM l{iters}
+    """
+
+
+@_q("graph_label_propagation", _lpa_oracle_sql(3))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-ext fixed-iteration synchronous label propagation over the
+    (symmetrized) event transition graph — density-based community
+    detection next to connectivity (components) and importance
+    (PageRank).  Deterministic argmax (largest incident weight sum, then
+    smallest label) over integer sums, so the unrolled-CTE oracle replays
+    it bit-exactly; per round one label join against the once-partitioned
+    edge frame + a two-level combinable aggregate."""
+    from .operators.aggregates import transition_matrix
+    from .operators.components import label_propagation_fixed
+
+    tm = transition_matrix(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    ).select("prev", "cur", "n")
+    return label_propagation_fixed(tm, "prev", "cur", "n", iters=3)
+
+
 @_q("graph_pagerank", _pagerank_oracle_sql(5))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-ext fixed-iteration weighted PageRank over the event transition
@@ -5708,29 +5756,30 @@ _DRIVER_PRIORITY = [
     "token_coverage_curve",
     "token_kl_by_source",
     "text_winnowing_fingerprint",
-    "contamination_matrix",
-    # DECLARED POLICY EXCEPTION for the 50-slot budget at round close: 54
-    # keys qualify for the window (48 never-DRIVER-green + 5 changed + the
-    # flagship), so four must sit past position 50.  The four round-close
-    # keys slot in here, displacing the four OLDEST never-driver-green keys
-    # below past the boundary — chosen because those four carry the most
+    # DECLARED POLICY EXCEPTION for the 50-slot budget at round close: 55
+    # keys qualify for the window (49 never-DRIVER-green + 5 changed + the
+    # flagship), so five must sit past position 50.  The five round-close
+    # keys slot in here, displacing the five OLDEST never-driver-green keys
+    # below past the boundary — chosen because those five carry the most
     # LOCAL-REPLICA evidence (value-checked green in every committed
     # full-gate sweep since the 122-key state, `tools/check_oracle.py`),
-    # while the round-close keys have exactly one sweep each; all
+    # while the round-close keys have at most two sweeps each; all
     # round-5-CHANGED keys stay inside the window.
     "sample_priority",
     "mixture_interleave",
     "graph_pagerank",
     "sketch_countmin_audit",
+    "graph_label_propagation",
     # (b) operator or oracle changed round 5
     "text_dup_spans",           # digest table df-capped (broadcast hot-set clamp)
     "text_dup_spans_removed",   # df cap + clean_text emission
     "corpus_prep_e2e",          # ladder grew the duplicate-span removal stage
     "chunk_token_stream",       # null-array guard moved before the prefix sum
     "text_repetition",          # let-bound arrays (pushed-filter O(n^2) fix)
-    # displaced past position 50 by the round-close keys above (the four
+    # displaced past position 50 by the round-close keys above (the five
     # oldest never-green — replica-green in every committed sweep since the
     # 122-key state, so the weakest claim on an official driver row):
+    "contamination_matrix",
     "dedup_cluster_sizes",
     "text_pii_redact",
     "text_gopher_gates",

@@ -115,3 +115,76 @@ def test_pagerank_deterministic_under_partitioning(spark):
     ra = {r.node: r.rank_int for r in pagerank_fixed(a, "src", "dst", "w").collect()}
     rb = {r.node: r.rank_int for r in pagerank_fixed(b, "src", "dst", "w").collect()}
     assert ra == rb == _pr_ref(edges)
+
+
+# --- fixed-iteration synchronous label propagation ---------------------------
+
+
+def _lpa_ref(edges, iters=3):
+    """Sequential scalar replica of the sync-LPA recurrence."""
+    und = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        und.setdefault(s, {}).setdefault(d, 0)
+        und.setdefault(d, {}).setdefault(s, 0)
+        und[s][d] += w
+        und[d][s] += w
+    nodes = sorted(und)
+    lbl = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            votes = {}
+            for m, w in und[n].items():
+                votes[lbl[m]] = votes.get(lbl[m], 0) + w
+            mx = max(votes.values())
+            nxt[n] = min(l for l, v in votes.items() if v == mx)
+        lbl = nxt
+    return lbl
+
+
+def _lpa(spark, edges, **kw):
+    from opentelemetry_collector_spark.operators.components import (
+        label_propagation_fixed,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    return {
+        r.node: r.community
+        for r in label_propagation_fixed(df, "src", "dst", "w", **kw).collect()
+    }
+
+
+def test_lpa_matches_scalar_replica(spark):
+    edges = [(1, 2, 5), (2, 3, 5), (1, 3, 1), (3, 4, 1),
+             (4, 5, 5), (5, 6, 5), (4, 6, 1), (7, 7, 9)]
+    assert _lpa(spark, edges) == _lpa_ref(edges)
+
+
+def test_lpa_bridge_does_not_merge_dense_communities(spark):
+    """Two dense triangles joined by one weak bridge: components would
+    merge them; LPA keeps two communities."""
+    tri1 = [(1, 2, 10), (2, 3, 10), (1, 3, 10)]
+    tri2 = [(11, 12, 10), (12, 13, 10), (11, 13, 10)]
+    got = _lpa(spark, tri1 + tri2 + [(3, 11, 1)])
+    assert got == _lpa_ref(tri1 + tri2 + [(3, 11, 1)])
+    comm = {}
+    for n, c in got.items():
+        comm.setdefault(c, set()).add(n)
+    assert {frozenset({1, 2, 3}), frozenset({11, 12, 13})} <= {
+        frozenset(v) for v in comm.values()
+    }
+
+
+def test_lpa_deterministic_under_partitioning(spark):
+    from opentelemetry_collector_spark.operators.components import (
+        label_propagation_fixed,
+    )
+
+    edges = [(i, (i * 5 + 2) % 23, 1 + i % 3) for i in range(60)]
+    a = spark.createDataFrame(edges, "src long, dst long, w long").coalesce(1)
+    b = spark.createDataFrame(edges, "src long, dst long, w long").repartition(16)
+    ra = {r.node: r.community for r in label_propagation_fixed(a, "src", "dst", "w").collect()}
+    rb = {r.node: r.community for r in label_propagation_fixed(b, "src", "dst", "w").collect()}
+    assert ra == rb == _lpa_ref(edges)
