@@ -146,6 +146,7 @@ HEADLINE = [
     "graph_pagerank",
     "sketch_countmin_audit",
     "graph_label_propagation",
+    "text_bigram_kn",
 ]
 
 # Keys slower than 1.5x their committed per-key baseline are flagged in the

@@ -1173,3 +1173,70 @@ def heldout_unigram_eval(train_df, eval_df, text_col: str, group_col: str):
             4,
         ).alias("avg_logp"),
     )
+
+
+def kn_bigram_logprob(df, id_col: str, text_col: str, discount: float = 0.75):
+    """Interpolated Kneser–Ney bigram LM quality score (Kneser & Ney 1995;
+    Chen & Goodman 1999, public) — the industry-standard smoother behind
+    KenLM, next to :func:`bigram_logprob`'s simple interpolation:
+
+        p(w2|w1) = (c(w1,w2) − D)/c(w1·) + D·N1+(w1,·)/c(w1·) · P_cont(w2)
+        P_cont(w2) = N1+(·,w2) / |bigram types|
+
+    where c(w1·) is the bigram-context total (so the distribution
+    normalizes exactly), N1+(w1,·) counts distinct continuations of w1,
+    and the continuation probability P_cont ranks words by how many
+    DISTINCT contexts they follow — the KN insight that downweights words
+    frequent only inside one collocation ("Francisco").  D defaults to
+    0.75 (dyadic — exactly representable, engine-exact arithmetic before
+    the final round).  Self-scored, so every doc bigram has c ≥ 1 > D and
+    the max(·−D, 0) clamp is vacuous — no unseen-bigram branch needed.
+
+    Plan (same linear shape as bigram_logprob): one bigram explode feeds
+    the persisted (w1,w2) count table, whose THREE derived frames are all
+    vocabulary-sized hash aggregates — context totals + forward
+    continuation counts by w1, backward continuation counts by w2, and
+    the 1-row bigram-type total (declared scalar broadcast); the doc
+    bigram stream equi-joins them back (zipf-skewed keys — AQE skew-join,
+    same accepted shape as the other LM scorers).  Docs with < 2 tokens
+    drop out."""
+    import pyspark.sql.functions as F
+
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    bigrams = staged.filter(F.size(w) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.struct(
+                    F.element_at(w, (i + 1).cast("int")).alias("w1"),
+                    F.element_at(w, (i + 2).cast("int")).alias("w2"),
+                ),
+            )
+        ).alias("_bg"),
+    ).select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    # persist: the bigram count table has three aggregate consumers below —
+    # caller-owned lifetime, same contract as the other vocab caches
+    bic = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    ctx = bic.groupBy("w1").agg(
+        F.sum("c2").alias("cw1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bic.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    btypes = bic.agg(F.count(F.lit(1)).alias("bt"))
+    scored = (
+        bigrams.join(bic, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(btypes))
+    )
+    d = F.lit(float(discount))
+    lp = F.log2(
+        (F.col("c2").cast("double") - d) / F.col("cw1")
+        + d * F.col("n1f") / F.col("cw1")
+        * (F.col("n1b").cast("double") / F.col("bt"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(lp), 4).alias("avg_logp2"),
+    )

@@ -5628,6 +5628,49 @@ def sketch_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_audit(_t(spark, sf_dir, "documents"), "text")
 
 
+@_q(
+    "text_bigram_kn",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+      FROM t WHERE len(w) >= 2),
+    bg2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    bic AS (SELECT w1, w2, count(*) AS c2 FROM bg2 GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cw1,
+                   CAST(count(*) AS BIGINT) AS n1f
+            FROM bic GROUP BY 1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bic GROUP BY 1),
+    bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM bic),
+    sc AS (
+      SELECT g.doc_id,
+             log2((CAST(bic.c2 AS DOUBLE) - 0.75) / ctx.cw1
+                  + 0.75 * ctx.n1f / ctx.cw1
+                  * (CAST(cont.n1b AS DOUBLE) / bt.bt)) AS lp
+      FROM bg2 g
+      JOIN bic ON bic.w1 = g.w1 AND bic.w2 = g.w2
+      JOIN ctx ON ctx.w1 = g.w1
+      JOIN cont ON cont.w2 = g.w2
+      CROSS JOIN bt)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(avg(lp), 4) AS avg_logp2
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-ext Kneser–Ney bigram LM score (the KenLM-standard smoother):
+    per-doc mean log2 of the absolute-discount + continuation-probability
+    interpolation, D=0.75 dyadic.  Distinguishes collocation-bound words
+    from genuinely frequent ones where add-λ interpolation cannot; same
+    linear bigram-explode → vocab-aggregate → equi-join ladder as
+    text_bigram_logprob, with the bigram-type total as the 1-row scalar
+    broadcast."""
+    from .operators.textstats import kn_bigram_logprob
+
+    return kn_bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     chain = ["l0 AS (SELECT node, node AS lbl FROM nd)"]
     for k in range(1, iters + 1):
@@ -5755,12 +5798,11 @@ _DRIVER_PRIORITY = [
     "pack_efficiency_audit",
     "token_coverage_curve",
     "token_kl_by_source",
-    "text_winnowing_fingerprint",
-    # DECLARED POLICY EXCEPTION for the 50-slot budget at round close: 55
-    # keys qualify for the window (49 never-DRIVER-green + 5 changed + the
-    # flagship), so five must sit past position 50.  The five round-close
-    # keys slot in here, displacing the five OLDEST never-driver-green keys
-    # below past the boundary — chosen because those five carry the most
+    # DECLARED POLICY EXCEPTION for the 50-slot budget at round close: 56
+    # keys qualify for the window (50 never-DRIVER-green + 5 changed + the
+    # flagship), so six must sit past position 50.  The six round-close
+    # keys slot in here, displacing the six OLDEST never-driver-green keys
+    # below past the boundary — chosen because those six carry the most
     # LOCAL-REPLICA evidence (value-checked green in every committed
     # full-gate sweep since the 122-key state, `tools/check_oracle.py`),
     # while the round-close keys have at most two sweeps each; all
@@ -5770,15 +5812,17 @@ _DRIVER_PRIORITY = [
     "graph_pagerank",
     "sketch_countmin_audit",
     "graph_label_propagation",
+    "text_bigram_kn",
     # (b) operator or oracle changed round 5
     "text_dup_spans",           # digest table df-capped (broadcast hot-set clamp)
     "text_dup_spans_removed",   # df cap + clean_text emission
     "corpus_prep_e2e",          # ladder grew the duplicate-span removal stage
     "chunk_token_stream",       # null-array guard moved before the prefix sum
     "text_repetition",          # let-bound arrays (pushed-filter O(n^2) fix)
-    # displaced past position 50 by the round-close keys above (the five
+    # displaced past position 50 by the round-close keys above (the six
     # oldest never-green — replica-green in every committed sweep since the
     # 122-key state, so the weakest claim on an official driver row):
+    "text_winnowing_fingerprint",
     "contamination_matrix",
     "dedup_cluster_sizes",
     "text_pii_redact",

@@ -584,3 +584,73 @@ def test_heldout_unigram_eval_oov_and_logprob(spark):
     t = out["t"]
     assert t.n_tok == 1 and t.oov_rate == 1.0
     assert t.avg_logp is None or t.avg_logp != t.avg_logp
+
+
+# --- Kneser-Ney bigram LM -----------------------------------------------------
+
+
+def _kn_ref(docs, D=0.75):
+    """Sequential scalar replica of the interpolated-KN recurrence."""
+    import math
+    from collections import Counter
+
+    big = Counter()
+    per_doc = {}
+    for i, text in docs:
+        ws = text.split()
+        bgs = list(zip(ws, ws[1:]))
+        per_doc[i] = bgs
+        big.update(bgs)
+    cw1, n1f, n1b = Counter(), Counter(), Counter()
+    for (w1, w2), c in big.items():
+        cw1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    bt = len(big)
+    out = {}
+    for i, bgs in per_doc.items():
+        if not bgs:
+            continue
+        lps = [
+            math.log2((big[(a, b)] - D) / cw1[a] + D * n1f[a] / cw1[a] * (n1b[b] / bt))
+            for a, b in bgs
+        ]
+        out[i] = (len(bgs), round(sum(lps) / len(lps), 4))
+    return out
+
+
+def test_kn_bigram_matches_scalar_replica(spark):
+    from opentelemetry_collector_spark.operators.textstats import kn_bigram_logprob
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "san francisco san francisco san francisco"),
+        (4, "a b c d e f"),
+        (5, "the the the the"),
+        (6, "solo"),  # < 2 tokens: drops out
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp2)
+        for r in kn_bigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert got == _kn_ref(docs)
+
+
+def test_kn_downweights_collocation_bound_words(spark):
+    """The KN property: 'francisco' is frequent but follows only ONE
+    distinct context, so its continuation probability is low — a doc of
+    repeated 'san francisco' scores lower under KN relative to a doc of
+    the same unigram frequencies spread over diverse contexts."""
+    from opentelemetry_collector_spark.operators.textstats import kn_bigram_logprob
+
+    # 'x' appears in 6 distinct bigram contexts; 'francisco' in 1
+    docs = [
+        (1, "san francisco san francisco san francisco san francisco"),
+        (2, "a x b x c x a x b x c x"),
+    ] + [(10 + i, "filler words only here") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logp2 for r in kn_bigram_logprob(df, "doc_id", "text").collect()}
+    ref = _kn_ref(docs)
+    assert got[1] == ref[1][1] and got[2] == ref[2][1]
