@@ -177,6 +177,7 @@ _NESTED_LOOP_OK = {
     "dedup_corpus_recall",     # recall audit: 1-row × 1-row count crossJoin
     "text_unigram_logprob",    # corpus-total scalar: 1-row broadcast into scoring frame
     "text_bigram_logprob",     # same 1-row corpus-total broadcast
+    "text_bigram_kn",          # 1-row bigram-type-total broadcast (KN continuation)
     "text_ccnet_buckets",      # same scoring ladder underneath
     "corpus_prep_e2e",         # ladder recall/scalar joins (1-row broadcast)
     "text_dsir_weight",        # V / N_target / N_corpus: three 1-row broadcasts
