@@ -477,3 +477,46 @@ def test_interleave_matches_python_reference_random(spark, rows, wa, wb):
             ref.append(((ix + 1) / weights[s], s, i))
     ref.sort()
     assert got == [(pos, i, s) for pos, (_sl, s, i) in enumerate(ref)]
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration graph ops vs pure-python references
+# ---------------------------------------------------------------------------
+
+_graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),   # src
+        st.integers(min_value=0, max_value=12),   # dst
+        st.integers(min_value=1, max_value=9),    # weight
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(edges=_graph_edges)
+@SETTINGS
+def test_pagerank_matches_python_reference_random(spark, edges):
+    from tests.test_components import _pr_ref
+    from opentelemetry_collector_spark.operators.components import pagerank_fixed
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long").repartition(4)
+    got = {r.node: r.rank_int for r in pagerank_fixed(df, "src", "dst", "w", iters=3).collect()}
+    assert got == _pr_ref(edges, iters=3)
+
+
+@given(edges=_graph_edges)
+@SETTINGS
+def test_lpa_matches_python_reference_random(spark, edges):
+    from tests.test_components import _lpa_ref
+    from opentelemetry_collector_spark.operators.components import (
+        label_propagation_fixed,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long").repartition(4)
+    got = {
+        r.node: r.community
+        for r in label_propagation_fixed(df, "src", "dst", "w", iters=2).collect()
+    }
+    assert got == _lpa_ref(edges, iters=2)
